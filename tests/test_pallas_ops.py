@@ -1,0 +1,66 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU; the same
+kernels compile natively on TPU — exercised by bench.py / TID_TEST_TPU=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tml_image_editing_defense_tpu.attack.pgd import (
+    l2_perturbation_step,
+    linf_perturbation_step,
+)
+from tml_image_editing_defense_tpu.ops import (
+    noise_inject_from_pool,
+    pgd_l2_update,
+    pgd_linf_update,
+)
+
+SHAPE = (1, 32, 32, 3)
+
+
+def _rand(key, shape=SHAPE, scale=1.0):
+    return jax.random.normal(jax.random.key(key), shape) * scale
+
+
+def test_linf_kernel_matches_oracle():
+    x_adv, grad, src = _rand(0, scale=0.3), _rand(1), jnp.clip(_rand(2, scale=0.4), -1, 1)
+    want = linf_perturbation_step(x_adv, grad, src, 0.006, 0.1, -1.0, 1.0)
+    got = pgd_linf_update(x_adv, grad, src, 0.006, 0.1, -1.0, 1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+
+def test_l2_kernel_matches_oracle():
+    x_adv, grad, src = _rand(3, scale=0.3), _rand(4), jnp.clip(_rand(5, scale=0.4), -1, 1)
+    want = l2_perturbation_step(x_adv, grad, src, 7.5, 0.4, -1.0, 1.0)
+    got = pgd_l2_update(x_adv, grad, src, 7.5, 0.4, -1.0, 1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_l2_kernel_masked_matches_oracle():
+    x_adv, grad, src = _rand(6, scale=0.3), _rand(7), jnp.clip(_rand(8, scale=0.4), -1, 1)
+    mask = (jax.random.uniform(jax.random.key(9), (1, 32, 32, 1)) > 0.5).astype(jnp.float32)
+    want = l2_perturbation_step(x_adv, grad, src, 7.5, 0.4, -1.0, 1.0, mask)
+    got = pgd_l2_update(x_adv, grad, src, 7.5, 0.4, -1.0, 1.0, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_noise_inject_matches_oracle():
+    lat = _rand(10, (1, 8, 8, 4))
+    pool = jax.random.normal(jax.random.key(11), (5, 1, 8, 8, 4))
+    sa, sb = jnp.sqrt(jnp.asarray(0.7)), jnp.sqrt(jnp.asarray(0.3))
+    for idx in [0, 3, 4]:
+        want = sa * lat + sb * pool[idx]
+        got = noise_inject_from_pool(lat, pool, jnp.asarray(idx), sa, sb, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_kernels_jit_and_grad_safe():
+    """Kernels must be usable inside jit (interpret mode under jit on CPU)."""
+    x_adv, grad, src = _rand(12, scale=0.3), _rand(13), jnp.clip(_rand(14, scale=0.4), -1, 1)
+
+    @jax.jit
+    def f(a, g, s):
+        return pgd_linf_update(a, g, s, 0.006, 0.1, -1.0, 1.0, interpret=True)
+
+    out = f(x_adv, grad, src)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -1,0 +1,121 @@
+"""The differentiable editing chain — ``attack_forward`` as a pure function.
+
+Re-designs reference ``Trainer.attack_forward`` (``main.py:179-246``) the TPU
+way: VAE encode → scheduler noise-add → a ``lax.scan`` over K CFG UNet steps
+→ (optional) VAE decode, all in one traced program that ``jax.grad``
+differentiates end-to-end with rematerialization on the scan body (the
+reference instead holds the whole K-step autograd graph in memory,
+``main.py:176``).
+
+Inputs that were host-side Python in the reference become traced values:
+the prompt row is a gather from the precomputed bank, the noise-pool entry a
+gather from the stacked pool, and all stochasticity (VAE posterior draw,
+LCM/DDIM step noise) flows from one key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
+from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel
+
+
+@flax.struct.dataclass
+class CondInputs:
+    """CFG-ready conditioning for one forward: stacked [uncond; cond]."""
+
+    ctx: jnp.ndarray                       # [2, S, D]
+    text_embeds: Optional[jnp.ndarray] = None   # SDXL pooled, [2, P]
+    time_ids: Optional[jnp.ndarray] = None      # SDXL, [2, 6]
+
+
+def make_time_ids(image_size: int = 512, dtype=jnp.float32) -> jnp.ndarray:
+    """SDXL micro-conditioning ids (original/crop/target = 512², reference
+    ``main.py:368-383``), duplicated for CFG."""
+    row = jnp.asarray(
+        [image_size, image_size, 0, 0, image_size, image_size], dtype
+    )
+    return jnp.stack([row, row])
+
+
+def select_cond(bank_embeds, bank_uncond, prompt_idx, bank_pooled=None,
+                bank_uncond_pooled=None, time_ids=None) -> CondInputs:
+    """Gather prompt row ``prompt_idx`` from the bank and stack CFG pairs."""
+    cond = jax.lax.dynamic_index_in_dim(bank_embeds, prompt_idx, 0, keepdims=False)
+    ctx = jnp.stack([bank_uncond, cond])
+    te = None
+    if bank_pooled is not None:
+        pooled = jax.lax.dynamic_index_in_dim(bank_pooled, prompt_idx, 0, keepdims=False)
+        te = jnp.stack([bank_uncond_pooled, pooled])
+    return CondInputs(ctx=ctx, text_embeds=te, time_ids=time_ids)
+
+
+def denoise_chain(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    params,
+    latents: jnp.ndarray,              # [1, h, w, 4] — already noised to t0
+    cond: CondInputs,
+    guidance_scale: float,
+    key: jax.Array,
+    remat_policy: str = "full",
+) -> jnp.ndarray:
+    """K CFG denoising steps as one scan (reference loop ``main.py:229-243``)."""
+    if plan.num_steps == 0:
+        return latents
+    step_keys = jax.random.split(key, plan.num_steps)
+
+    def body(state, xs):
+        x, carry = state
+        i, k = xs
+        latent_in = jnp.concatenate([x, x], axis=0)
+        latent_in = sampler.scale_model_input(plan, i, latent_in)
+        t = plan.t_eval[i]
+        eps = model.apply_unet(
+            params["unet"], latent_in, t, cond.ctx,
+            text_embeds=cond.text_embeds, time_ids=cond.time_ids,
+        )
+        eps_uncond, eps_text = eps[:1], eps[1:]
+        guided = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        x, carry = sampler.step(plan, i, carry, guided, x, k)
+        return (x, carry), None
+
+    if remat_policy == "full":
+        body = jax.checkpoint(body)
+    elif remat_policy == "dots":
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+        )
+    carry0 = sampler.init_carry(latents.shape, latents.dtype)
+    (x, _), _ = jax.lax.scan(body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys))
+    return x
+
+
+def attack_forward(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    params,
+    image: jnp.ndarray,                # [1, H, W, 3] in [-1, 1]
+    cond: CondInputs,
+    init_noise: jnp.ndarray,           # [1, h, w, 4] — selected pool entry
+    guidance_scale: float,
+    key: jax.Array,
+    remat_policy: str = "full",
+) -> jnp.ndarray:
+    """image → *unscaled* output latent (reference main.py:179-246, which
+    returns ``latents / 0.18215`` at :245)."""
+    k_vae, k_chain = jax.random.split(key)
+    z = model.encode_image(params["vae"], image, key=k_vae)   # scaled (main.py:191)
+    x = sampler.add_noise(plan, z, init_noise)                # main.py:216
+    x = denoise_chain(
+        model, sampler, plan, params, x, cond, guidance_scale, k_chain, remat_policy
+    )
+    return x / model.vae_scaling                              # main.py:245

@@ -1,0 +1,339 @@
+"""PGD immunization engine: perturbation steps, EOT gradients, jitted loop.
+
+Rebuilds reference ``Trainer`` internals (``main.py:47-276``) as pure jax:
+
+- :func:`perturbation_step` — exact semantics of ``main.py:248-276``
+  including ``torch.renorm`` slice-wise L2 projection (``main.py:267``).
+- :func:`make_eot_grad` — the ``grad_reps`` expectation-over-transformation
+  loop (``main.py:88-102``) as a ``lax.scan``/``vmap`` over keys, with the
+  prompt sampled once per outer iteration (``main.py:85``) and the noise-pool
+  entry per rep (``main.py:215``).
+- :func:`make_pgd_step` — one full outer iteration as a single jitted
+  program; :func:`run_pgd` drives it with optional host visualization, and
+  :func:`make_pgd_loop` fuses N iterations into one ``lax.scan`` dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tml_image_editing_defense_tpu.attack.forward import (
+    CondInputs,
+    attack_forward,
+    make_time_ids,
+    select_cond,
+)
+from tml_image_editing_defense_tpu.attack.losses import lp_distance, perturbation_loss
+from tml_image_editing_defense_tpu.configs import TrainConfig
+from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
+from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel, PromptBank
+
+
+# ---------------------------------------------------------------------------
+# Perturbation steps (reference main.py:248-276)
+# ---------------------------------------------------------------------------
+
+
+def renorm_l2(x: jnp.ndarray, maxnorm: float, axis: int = 0) -> jnp.ndarray:
+    """``torch.renorm(x, p=2, dim=axis, maxnorm)`` parity: every slice along
+    ``axis`` whose L2 norm exceeds ``maxnorm`` is rescaled by
+    ``maxnorm / (norm + 1e-7)`` (main.py:267)."""
+    axes = tuple(i for i in range(x.ndim) if i != axis)
+    norms = jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
+    factor = jnp.where(norms > maxnorm, maxnorm / (norms + 1e-7), 1.0)
+    return x * factor
+
+
+def l2_perturbation_step(
+    x_adv: jnp.ndarray,
+    grad: jnp.ndarray,
+    x_src: jnp.ndarray,
+    step_size: float,
+    eps: float,
+    min_value: float,
+    max_value: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """L2 PGD: normalized-gradient step + renorm ε-ball projection + clamp
+    (main.py:254-268).  ``mask`` (NHWC [B,H,W,1]) restricts the step to
+    salient regions (main.py:260-261)."""
+    axes = tuple(range(1, grad.ndim))
+    gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=axes, keepdims=True))
+    gn = grad / (gnorm + 1e-10)
+    if mask is not None:
+        gn = gn * mask
+    x_adv = x_adv - gn * step_size
+    d_x = x_adv - x_src
+    d_x = renorm_l2(d_x, eps, axis=0)
+    return jnp.clip(x_src + d_x, min_value, max_value)
+
+
+def linf_perturbation_step(
+    x_adv: jnp.ndarray,
+    grad: jnp.ndarray,
+    x_src: jnp.ndarray,
+    step_size: float,
+    eps: float,
+    min_value: float,
+    max_value: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """L∞ PGD: sign step + box projection + clamp (main.py:270-274).
+
+    The reference applies the segmentation mask only on the L2 branch; we
+    accept it here too for completeness (None preserves reference behavior).
+    """
+    step = jnp.sign(grad) * step_size
+    if mask is not None:
+        step = step * mask
+    x_adv = x_adv - step
+    x_adv = jnp.minimum(jnp.maximum(x_adv, x_src - eps), x_src + eps)
+    return jnp.clip(x_adv, min_value, max_value)
+
+
+def perturbation_step(norm_type: str, **kw) -> jnp.ndarray:
+    if norm_type == "l2":
+        return l2_perturbation_step(**kw)
+    if norm_type == "linf":
+        return linf_perturbation_step(**kw)
+    raise ValueError(f"unknown norm_type {norm_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# Attack data + EOT gradient
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class AttackData:
+    """Device-resident inputs of one immunization run (all NHWC)."""
+
+    source: jnp.ndarray                 # [1,H,W,3] in [-1,1]
+    target: jnp.ndarray                 # [1,H,W,3]
+    target_latent: jnp.ndarray          # [1,h,w,4] raw/unscaled (main.py:75)
+    bank_embeds: jnp.ndarray            # [P,S,D]
+    bank_uncond: jnp.ndarray            # [S,D]
+    noise_pool: jnp.ndarray             # [N,1,h,w,4]
+    bank_pooled: Optional[jnp.ndarray] = None          # SDXL [P,Dp]
+    bank_uncond_pooled: Optional[jnp.ndarray] = None   # SDXL [Dp]
+    time_ids: Optional[jnp.ndarray] = None             # SDXL [2,6]
+    mask: Optional[jnp.ndarray] = None                 # [1,H,W,1]
+
+
+def make_attack_data(
+    model: DiffusionModel,
+    cfg: TrainConfig,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    bank: PromptBank,
+    noise_pool: jnp.ndarray,
+    target_latent_key: Optional[jax.Array] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> AttackData:
+    """Assemble device-side attack inputs (mirrors Trainer.run setup,
+    main.py:61-75)."""
+    target_latent = model.encode_image_raw(
+        model.params["vae"], target, key=target_latent_key
+    )
+    time_ids = None
+    if bank.pooled is not None:
+        time_ids = make_time_ids(cfg.image_size, dtype=source.dtype)
+    return AttackData(
+        source=source,
+        target=target,
+        target_latent=target_latent,
+        bank_embeds=bank.embeds,
+        bank_uncond=bank.uncond,
+        noise_pool=noise_pool,
+        bank_pooled=bank.pooled,
+        bank_uncond_pooled=bank.uncond_pooled,
+        time_ids=time_ids,
+        mask=mask if cfg.use_segmentation_mask else None,
+    )
+
+
+def _rep_loss_fn(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+):
+    """Single EOT gradient sample: loss(params, x_adv, data, prompt_idx, key)
+    (reference compute_grad, main.py:144-177)."""
+
+    def loss_fn(x_adv, params, data: AttackData, prompt_idx, key):
+        k_noise, k_fwd = jax.random.split(key)
+        if cfg.use_fixed_noise:
+            idx = jax.random.randint(k_noise, (), 0, data.noise_pool.shape[0])
+            noise = jax.lax.dynamic_index_in_dim(data.noise_pool, idx, 0, keepdims=False)
+        else:
+            noise = jax.random.normal(
+                k_noise, data.noise_pool.shape[1:], data.noise_pool.dtype
+            )
+        cond = select_cond(
+            data.bank_embeds, data.bank_uncond, prompt_idx,
+            data.bank_pooled, data.bank_uncond_pooled, data.time_ids,
+        )
+        out_latent = attack_forward(
+            model, sampler, plan, params, x_adv, cond, noise,
+            cfg.guidance_scale, k_fwd, cfg.remat_policy,
+        )
+        output_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+        if cfg.apply_loss_on_images:
+            rec = lp_distance(output_image, data.target, 2)
+        elif cfg.apply_loss_on_latents:
+            rec = lp_distance(out_latent, data.target_latent, 2)
+        else:
+            raise ValueError("set apply_loss_on_images or apply_loss_on_latents")
+        if cfg.perturbation_loss_lambda > 0:
+            pert = perturbation_loss(output_image, data.source)
+            loss = cfg.rec_loss_lambda * rec + cfg.perturbation_loss_lambda * pert
+        else:
+            pert = jnp.zeros((), rec.dtype)
+            loss = cfg.rec_loss_lambda * rec
+        return loss, (rec, pert, output_image)
+
+    return loss_fn
+
+
+def make_eot_grad(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+):
+    """EOT gradient: mean over ``grad_reps`` independent samples
+    (main.py:88-102), prompt drawn once per call (main.py:85-87)."""
+    loss_fn = _rep_loss_fn(model, sampler, plan, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
+
+    def eot(params, x_adv, data: AttackData, key):
+        k_prompt, k_reps = jax.random.split(key)
+        prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
+        rep_keys = jax.random.split(k_reps, cfg.grad_reps)
+
+        if cfg.eot_mode == "vmap":
+            (losses, auxes), grads = jax.vmap(
+                lambda k: grad_fn(x_adv, params, data, prompt_idx, k)
+            )(rep_keys)
+            grad = jnp.mean(grads, axis=0)
+            avg_loss = jnp.mean(losses)
+            rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
+        else:  # "scan" — sequential reps, lowest memory
+            def body(acc, k):
+                (loss, aux), g = grad_fn(x_adv, params, data, prompt_idx, k)
+                return (acc[0] + g, acc[1] + loss), aux
+
+            (gsum, lsum), auxes = jax.lax.scan(
+                body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys
+            )
+            grad = gsum / cfg.grad_reps
+            avg_loss = lsum / cfg.grad_reps
+            rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
+
+        aux = {
+            "avg_loss": avg_loss,
+            "rec_loss": rec,
+            "pert_loss": pert,
+            "output_image": out_img,
+            "prompt_idx": prompt_idx,
+        }
+        return grad, aux
+
+    return eot
+
+
+# ---------------------------------------------------------------------------
+# Full PGD step / loop
+# ---------------------------------------------------------------------------
+
+
+def make_pgd_step(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+) -> Callable:
+    """One outer PGD iteration as a pure function
+    ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it once and the
+    whole reference iteration (main.py:79-115) is a single XLA dispatch."""
+    eot = make_eot_grad(model, sampler, plan, cfg)
+
+    def step(params, x_adv, data: AttackData, key):
+        grad, aux = eot(params, x_adv, data, key)
+        x_adv = perturbation_step(
+            cfg.norm_type,
+            x_adv=x_adv,
+            grad=grad,
+            x_src=data.source,
+            step_size=cfg.step_size,
+            eps=cfg.eps,
+            min_value=cfg.min_value,
+            max_value=cfg.max_value,
+            mask=data.mask,
+        )
+        return x_adv, aux
+
+    return step
+
+
+def make_pgd_loop(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+    n_steps: Optional[int] = None,
+) -> Callable:
+    """N PGD iterations fused into one ``lax.scan`` —
+    ``loop(params, x_adv, data, key) -> (x_adv_final, per_step_losses)``.
+    Use when visualization is off: zero host round-trips for the entire
+    immunization."""
+    n = n_steps or cfg.n_optimization_steps
+    step = make_pgd_step(model, sampler, plan, cfg)
+
+    def loop(params, x_adv, data: AttackData, key):
+        keys = jax.random.split(key, n)
+
+        def body(x, k):
+            x, aux = step(params, x, data, k)
+            return x, (aux["avg_loss"], aux["rec_loss"], aux["pert_loss"])
+
+        x_final, (losses, recs, perts) = jax.lax.scan(body, x_adv, keys)
+        return x_final, {"avg_loss": losses, "rec_loss": recs, "pert_loss": perts}
+
+    return loop
+
+
+def run_pgd(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+    data: AttackData,
+    key: jax.Array,
+    x_init: Optional[jnp.ndarray] = None,
+    vis_callback: Optional[Callable] = None,
+    start_iteration: int = 0,
+) -> Tuple[jnp.ndarray, list]:
+    """Host-driven PGD loop with optional visualization callbacks at
+    ``cfg.image_visualization_interval`` (reference main.py:117-135).  The
+    step itself is jitted once; callbacks only sync at vis iterations."""
+    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    x_adv = data.source if x_init is None else x_init
+    history = []
+    n = cfg.n_optimization_steps
+    for it in range(start_iteration, n):
+        key, sub = jax.random.split(key)
+        x_adv, aux = step(model.params, x_adv, data, sub)
+        if vis_callback is not None and (
+            it % cfg.image_visualization_interval == 0 or it == n - 1
+        ):
+            vis_callback(it, x_adv, aux)
+            history.append(
+                {k: float(aux[k]) for k in ("avg_loss", "rec_loss", "pert_loss")}
+            )
+    return x_adv, history

@@ -1,0 +1,238 @@
+"""Shared neural blocks for the SD model zoo (flax.linen, NHWC).
+
+From-scratch TPU-native implementations of the architectural blocks the
+reference consumes through diffusers' torch models (UNet2DConditionModel,
+AutoencoderKL, CLIPTextModel — reference ``main.py:278-309``): timestep
+embeddings, ResNet blocks, spatial transformers with self/cross attention,
+and up/down sampling.
+
+Design notes (TPU-first):
+- NHWC everywhere — TPU conv layouts are channels-last; boundary code
+  transposes once at entry/exit.
+- Attention uses ``jax.nn.dot_product_attention`` so XLA picks the fused
+  flash path on the MXU.
+- Submodule names deliberately mirror diffusers' state-dict names
+  (``resnets_0``, ``attn1``, ``to_q``, …) so weight conversion in
+  :mod:`~tml_image_editing_defense_tpu.models.convert` is a mechanical
+  rename + transpose, never a re-architecture.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers ``Timesteps`` semantics;
+    SD UNets use flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out.astype(dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer SiLU MLP lifting the sinusoidal embedding to the model width."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm→SiLU→Conv ×2 with additive time conditioning and a learned
+    skip projection on channel change (diffusers ``ResnetBlock2D``)."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention over flattened spatial tokens (self or cross).
+
+    Matches diffusers ``Attention`` parameterization: no-bias q/k/v, biased
+    output projection.  Uses the XLA fused attention path.
+    """
+
+    heads: int
+    dim_head: int
+    cross_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context: Optional[jnp.ndarray] = None, mask=None):
+        inner = self.heads * self.dim_head
+        out_dim = self.out_dim or x.shape[-1]
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, t = q.shape[0], q.shape[1]
+        s = k.shape[1]
+        q = q.reshape(b, t, self.heads, self.dim_head)
+        k = k.reshape(b, s, self.heads, self.dim_head)
+        v = v.reshape(b, s, self.heads, self.dim_head)
+        o = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        o = o.reshape(b, t, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(o)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers ``FeedForward`` with geglu activation)."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN→self-attn→LN→cross-attn→LN→GEGLU-FF, all residual."""
+
+    heads: int
+    dim_head: int
+    cross_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.heads, self.dim_head, cross_dim=self.cross_dim, dtype=self.dtype, name="attn2"
+        )(h, context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN → linear proj-in → N transformer blocks →
+    linear proj-out, residual (diffusers ``Transformer2DModel`` with
+    ``use_linear_projection`` matching the model family)."""
+
+    heads: int
+    dim_head: int
+    cross_dim: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(self.heads * self.dim_head, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, self.heads * self.dim_head)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.cross_dim, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, self.heads * self.dim_head)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Single-head-per-channel-group spatial self-attention used in the VAE
+    mid block (diffusers ``AttnProcessor`` on ``AttentionBlock``)."""
+
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        res = x
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        o = jax.nn.dot_product_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+        o = o.reshape(b, h * w, c)
+        o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o)
+        return res + o.reshape(b, h, w, c)

@@ -1,0 +1,235 @@
+"""Model bundles: SD-1.5, SDXL, and tiny test presets.
+
+Groups the three networks + tokenizer(s) + noise schedule the reference
+assembles via ``Trainer.load_models`` (``main.py:278-309``) into one
+:class:`DiffusionModel` with pure apply methods.  Weights come from either
+random init (tests/bench — architecture-faithful, no downloads) or
+:mod:`~tml_image_editing_defense_tpu.models.convert` (local HF checkpoints).
+
+Prompt-bank embedding (:meth:`DiffusionModel.embed_prompt_bank`) is the
+TPU-first replacement for the reference's per-iteration ``encode_prompt``
+(``main.py:185``): all prompts are embedded once at setup and stacked, and
+the jitted attack selects rows with a gather — no text encoder on the hot
+path and no recompiles across prompts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tml_image_editing_defense_tpu.core.schedule import NoiseSchedule, make_noise_schedule
+from tml_image_editing_defense_tpu.models.clip_text import (
+    CLIPTextModel,
+    SD15_TEXT,
+    SDXL_TEXT_1,
+    SDXL_TEXT_2,
+    TINY_TEXT,
+    CLIPTextConfig,
+)
+from tml_image_editing_defense_tpu.models.tokenizer import HashTokenizer, load_tokenizer
+from tml_image_editing_defense_tpu.models.unet import (
+    SD15_UNET,
+    SDXL_UNET,
+    TINY_SDXL_UNET,
+    TINY_UNET,
+    UNet2DCondition,
+    UNetConfig,
+)
+from tml_image_editing_defense_tpu.models.vae import (
+    SD_VAE,
+    SDXL_VAE,
+    TINY_VAE,
+    AutoencoderKL,
+    VAEConfig,
+    sample_latent,
+)
+
+
+@dataclasses.dataclass
+class PromptBank:
+    """Stacked CFG-ready prompt embeddings.
+
+    ``embeds``: [P, S, D] conditional rows; ``uncond``: [S, D];
+    ``pooled``/``uncond_pooled``: SDXL pooled embeds or None.
+    """
+
+    embeds: jnp.ndarray
+    uncond: jnp.ndarray
+    pooled: Optional[jnp.ndarray] = None
+    uncond_pooled: Optional[jnp.ndarray] = None
+    prompts: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class DiffusionModel:
+    family: str
+    image_size: int
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    text_models: Tuple[CLIPTextModel, ...]
+    tokenizers: Tuple[Any, ...]
+    params: dict                      # {"unet":…, "vae":…, "text": (…, …)}
+    schedule: NoiseSchedule
+
+    # -- geometry ---------------------------------------------------------
+
+    @property
+    def latent_size(self) -> int:
+        return self.image_size // 8 if self.family != "tiny" else self.image_size // 4
+
+    @property
+    def latent_shape(self) -> Tuple[int, int, int, int]:
+        f = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        s = self.image_size // f
+        return (1, s, s, self.vae.config.latent_channels)   # NHWC
+
+    @property
+    def vae_scaling(self) -> float:
+        return self.vae.config.scaling_factor
+
+    # -- pure apply wrappers (safe inside jit) -----------------------------
+
+    def apply_unet(self, params, sample, t, ctx, text_embeds=None, time_ids=None):
+        return self.unet.apply({"params": params}, sample, t, ctx,
+                               text_embeds=text_embeds, time_ids=time_ids)
+
+    def encode_image(self, params, image, key=None):
+        """image NHWC in [-1,1] → *scaled* latent sample (main.py:191).
+        Deterministic (posterior mean) when ``key`` is None."""
+        mean, logvar = self.vae.apply({"params": params}, image, method=AutoencoderKL.encode)
+        z = mean if key is None else sample_latent(key, mean, logvar)
+        return z * self.vae_scaling
+
+    def encode_image_raw(self, params, image, key=None):
+        """Unscaled latent sample (the reference's target encoding, main.py:75)."""
+        mean, logvar = self.vae.apply({"params": params}, image, method=AutoencoderKL.encode)
+        return mean if key is None else sample_latent(key, mean, logvar)
+
+    def decode_latent(self, params, z, scaled: bool = True):
+        """latent → image NHWC in [-1,1]; divide by the scaling factor iff
+        the latent is in scaled space."""
+        if scaled:
+            z = z / self.vae_scaling
+        return self.vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+
+    # -- prompt embedding (setup-time, host loop over the bank) ------------
+
+    def _encode_tokens(self, ids_per_encoder: Sequence[np.ndarray]):
+        if self.family in ("sd15", "tiny"):
+            final, _, _ = self.text_models[0].apply(
+                {"params": self.params["text"][0]}, jnp.asarray(ids_per_encoder[0])
+            )
+            return final, None
+        # SDXL: concat penultimate states of both encoders; pooled from #2.
+        _, pen1, _ = self.text_models[0].apply(
+            {"params": self.params["text"][0]}, jnp.asarray(ids_per_encoder[0])
+        )
+        _, pen2, pooled2 = self.text_models[1].apply(
+            {"params": self.params["text"][1]}, jnp.asarray(ids_per_encoder[1])
+        )
+        return jnp.concatenate([pen1, pen2], axis=-1), pooled2
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+        """One prompt → (cond, uncond, pooled, uncond_pooled). Mirrors
+        ``Trainer._encode_prompt`` (main.py:334-360)."""
+        bank = self.embed_prompt_bank([prompt], negative_prompt)
+        pooled = None if bank.pooled is None else bank.pooled[0]
+        return bank.embeds[0], bank.uncond, pooled, bank.uncond_pooled
+
+    def embed_prompt_bank(self, prompts: Sequence[str], negative_prompt: str = "") -> PromptBank:
+        texts = list(prompts) + [negative_prompt]
+        ids = [tok(texts) for tok in self.tokenizers]
+        embeds, pooled = self._encode_tokens(ids)
+        return PromptBank(
+            embeds=embeds[:-1],
+            uncond=embeds[-1],
+            pooled=None if pooled is None else pooled[:-1],
+            uncond_pooled=None if pooled is None else pooled[-1],
+            prompts=list(prompts),
+        )
+
+
+_FAMILIES = {
+    # family: (unet_cfg, vae_cfg, text_cfgs, image_size)
+    "sd15": (SD15_UNET, SD_VAE, (SD15_TEXT,), 512),
+    "sdxl": (SDXL_UNET, SDXL_VAE, (SDXL_TEXT_1, SDXL_TEXT_2), 1024),
+    "tiny": (TINY_UNET, TINY_VAE, (TINY_TEXT,), 32),
+    "tiny-sdxl": (TINY_SDXL_UNET, TINY_VAE, (TINY_TEXT, TINY_TEXT), 32),
+}
+
+
+def build_model(
+    family: str = "sd15",
+    key: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+    image_size: Optional[int] = None,
+    params: Optional[dict] = None,
+    tokenizer_paths: Optional[Sequence] = None,
+) -> DiffusionModel:
+    """Construct a model bundle; random-init params unless given.
+
+    ``image_size`` defaults to the family's native size, but the reference
+    always trains SDXL at 512 too (its dataset transform is fixed at 512,
+    ``data/dataset.py:20-21``) — pass ``image_size=512`` for that.
+    """
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
+    unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
+    image_size = image_size or native
+    base_family = "sdxl" if family.endswith("sdxl") else ("sd15" if family == "sd15" else "tiny")
+    if family == "tiny-sdxl":
+        base_family = "sdxl"
+
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    texts = tuple(CLIPTextModel(c, dtype=dtype) for c in text_cfgs)
+
+    if tokenizer_paths is None:
+        tokenizer_paths = [None] * len(text_cfgs)
+    toks = tuple(
+        load_tokenizer(p, vocab_size=c.vocab_size, max_length=c.max_length)
+        for p, c in zip(tokenizer_paths, text_cfgs)
+    )
+
+    if params is None:
+        if key is None:
+            key = jax.random.key(0)
+        k_unet, k_vae, *k_txt = jax.random.split(key, 2 + len(text_cfgs))
+        f = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        lat = image_size // f
+        sample = jnp.zeros((1, lat, lat, unet_cfg.in_channels), dtype)
+        ctx = jnp.zeros((1, text_cfgs[0].max_length, unet_cfg.cross_attention_dim), dtype)
+        kwargs = {}
+        if unet_cfg.addition_embed_type == "text_time":
+            pooled_dim = (
+                unet_cfg.projection_class_embeddings_input_dim
+                - 6 * unet_cfg.addition_time_embed_dim
+            )
+            kwargs = {
+                "text_embeds": jnp.zeros((1, pooled_dim), dtype),
+                "time_ids": jnp.zeros((1, 6), dtype),
+            }
+        unet_params = unet.init(k_unet, sample, jnp.zeros((), jnp.int32), ctx, **kwargs)["params"]
+        img = jnp.zeros((1, image_size, image_size, vae_cfg.in_channels), dtype)
+        vae_params = vae.init(k_vae, img, jax.random.key(0))["params"]
+        text_params = tuple(
+            tm.init(k, jnp.zeros((1, c.max_length), jnp.int32))["params"]
+            for tm, c, k in zip(texts, text_cfgs, k_txt)
+        )
+        params = {"unet": unet_params, "vae": vae_params, "text": text_params}
+
+    return DiffusionModel(
+        family=base_family,
+        image_size=image_size,
+        unet=unet,
+        vae=vae,
+        text_models=texts,
+        tokenizers=toks,
+        params=params,
+        schedule=make_noise_schedule(),
+    )
