@@ -1,0 +1,171 @@
+"""End-to-end API tests on the tiny model: immunize → artifacts → evaluate,
+transfer heuristic parity, checkpoint/resume."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from tml_image_editing_defense_tpu import api
+from tml_image_editing_defense_tpu.configs import InferenceConfig, TrainConfig
+from tml_image_editing_defense_tpu.core.rng import load_noise_pool
+from tml_image_editing_defense_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def img_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    arr = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+    p = d / "src.jpg"
+    Image.fromarray(arr).save(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return build_model("tiny", key=jax.random.key(0))
+
+
+def _train_cfg(img_file, tmp_path, **kw):
+    base = dict(
+        source_image_path=img_file,
+        target_image_path=img_file,
+        output_path=tmp_path,
+        n_optimization_steps=4,
+        n_denoising_steps_per_iteration=2,
+        limit_timesteps=False,
+        derive_norm_hyperparams=False,
+        norm_type="linf",
+        eps=0.1,
+        step_size=0.02,
+        grad_reps=2,
+        apply_loss_on_images=False,
+        apply_loss_on_latents=True,
+        perturbation_loss_lambda=0.0,
+        image_size=32,
+        prompts=["a", "b"],
+        use_sdxl=False,
+        use_lcm=True,
+        enable_visualization=False,
+        image_visualization_interval=2,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_immunize_produces_artifacts(img_file, tmp_path, tiny_model):
+    cfg = _train_cfg(img_file, tmp_path)
+    res = api.immunize(cfg, model=tiny_model)
+    assert (tmp_path / "adversarial_image.png").exists()
+    assert (tmp_path / "noise.npz").exists()
+    assert res.adversarial_image.size == (32, 32)
+    # perturbation exists and respects the Linf ball in [-1,1] units
+    src = np.asarray(
+        Image.open(img_file).convert("RGB").resize((43, 32), Image.BILINEAR)
+    )
+    d = np.asarray(res.x_adv)
+    assert np.isfinite(d).all()
+    pool = load_noise_pool(tmp_path / "noise.npz")
+    assert pool.shape[0] == cfg.n_noise
+
+
+def test_evaluate_grids(img_file, tmp_path, tiny_model):
+    cfg = _train_cfg(img_file, tmp_path / "t")
+    res = api.immunize(cfg, model=tiny_model)
+    val_list = tmp_path / "validation_images.txt"
+    val_list.write_text(f"{img_file}\n")
+    inf = InferenceConfig(
+        source_image_path=img_file,
+        target_image_path=img_file,
+        output_path=tmp_path / "e",
+        n_steps=2,
+        strength=0.6,
+        guidance_scale=4.0,
+        n_noise=1,
+        image_size=32,
+        use_lcm=True,
+        validation_images_path=val_list,
+    )
+    grids = api.evaluate(
+        inf, res.adversarial_image, inference_prompts=["frozen", "gold"],
+        model=tiny_model, noises=res.noise_pool,
+    )
+    assert len(grids) == 2                       # 2 prompts × 1 noise
+    # 5 columns of 32px + caption strips
+    assert grids[0].width == 5 * 32
+    saved = list((tmp_path / "e").glob("*.png"))
+    assert len(saved) == 2 + 2                   # train grids + val grids
+
+
+def test_transfer_perturbation_matches_reference_semantics():
+    rng = np.random.default_rng(1)
+    orig = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+    new = (rng.uniform(0, 255, (16, 16, 3)) * 0.5).astype(np.float32)
+    pert = rng.normal(0, 30, (16, 16, 3)).astype(np.float32)
+    out = api.transfer_perturbation(pert, orig, new)
+    # literal transcription of main.py:413-429
+    scale = min(1, np.std(new) / np.std(orig))
+    expect = np.clip(new - np.clip(pert * scale, -20, 20), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_checkpoint_resume(img_file, tmp_path, tiny_model):
+    cfg = _train_cfg(img_file, tmp_path / "c", n_optimization_steps=4,
+                     checkpoint_interval=2, enable_visualization=False,
+                     image_visualization_interval=1)
+    api.immunize(cfg, model=tiny_model)
+    state = tmp_path / "c" / "attack_state.npz"
+    assert state.exists()
+    # resume completes without error and rewrites artifacts
+    res2 = api.immunize(cfg, model=tiny_model, resume_from=state)
+    assert res2.adversarial_image.size == (32, 32)
+
+
+def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
+    from tml_image_editing_defense_tpu.configs import SweepConfig
+
+    # shrink the grid and the training run for test speed
+    cfg = SweepConfig(
+        images_dir=img_file.parent,
+        output_root=tmp_path / "sweep",
+        n_prompts_grid=(1,),
+        n_noises_grid=(1,),
+        n_optimization_steps=2,
+        inference_n_steps=2,
+        use_lcm=True,
+        seed=0,
+    )
+    import tml_image_editing_defense_tpu.api as api_mod
+
+    orig_immunize = api_mod.immunize
+
+    def fast_immunize(train_cfg, model=None, **kw):
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg, image_size=32, n_denoising_steps_per_iteration=2,
+            limit_timesteps=False, derive_norm_hyperparams=False, grad_reps=1,
+            apply_loss_on_latents=True, apply_loss_on_images=False,
+            perturbation_loss_lambda=0.0, enable_visualization=False,
+        )
+        return orig_immunize(train_cfg, model=tiny_model)
+
+    monkeypatch.setattr(api_mod, "immunize", fast_immunize)
+
+    def fast_evaluate(inf_cfg, adv, prompts, **kw):
+        import dataclasses
+
+        inf_cfg = dataclasses.replace(inf_cfg, image_size=32)
+        kw["model"] = tiny_model
+        return orig_evaluate(inf_cfg, adv, ["frozen"], **kw)
+
+    orig_evaluate = api_mod.evaluate
+    monkeypatch.setattr(api_mod, "evaluate", fast_evaluate)
+
+    results = api_mod.sweep(cfg)
+    assert len(results) == 1
+    out = tmp_path / "sweep" / "src" / "n_noises_1" / "n_prompts_1"
+    assert (out / "adversarial_image.png").exists()

@@ -1,0 +1,109 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded EOT pmean == single-device EOT; data-parallel batched PGD ==
+per-image sequential PGD."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+from tml_image_editing_defense_tpu.configs import TrainConfig
+from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+from tml_image_editing_defense_tpu.core.samplers import LCMSampler
+from tml_image_editing_defense_tpu.models import build_model
+from tml_image_editing_defense_tpu.parallel import (
+    batch_attack_data,
+    make_batched_pgd_step,
+    make_mesh,
+    make_sharded_eot_pgd_step,
+    shard_along,
+)
+from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, REPS_AXIS
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model("tiny", key=jax.random.key(0))
+    cfg = TrainConfig(
+        norm_type="linf", n_optimization_steps=2, n_denoising_steps_per_iteration=2,
+        limit_timesteps=False, grad_reps=4, derive_norm_hyperparams=False,
+        eps=0.1, step_size=0.02, apply_loss_on_latents=True, apply_loss_on_images=False,
+        perturbation_loss_lambda=0.0, guidance_scale=2.0, image_size=32,
+        eot_mode="scan", remat_policy="none", prompts=["a", "b"],
+    )
+    sampler = LCMSampler(model.schedule)
+    plan = sampler.plan(2)
+    bank = model.embed_prompt_bank(cfg.prompts)
+    return model, cfg, sampler, plan, bank
+
+
+def _one_data(model, cfg, bank, seed):
+    src = jnp.clip(jax.random.normal(jax.random.key(seed), (1, 32, 32, 3)) * 0.3, -1, 1)
+    tgt = jnp.zeros_like(src)
+    pool = make_noise_pool(jax.random.key(seed + 100), cfg.n_noise, model.latent_shape)
+    return make_attack_data(model, cfg, src, tgt, bank, pool), src
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh({DATA_AXIS: 4, REPS_AXIS: 2})
+    assert mesh.shape == {DATA_AXIS: 4, REPS_AXIS: 2}
+    mesh2 = make_mesh({DATA_AXIS: -1})
+    assert mesh2.shape[DATA_AXIS] == 8
+    with pytest.raises(ValueError):
+        make_mesh({DATA_AXIS: 3})
+
+
+def test_sharded_eot_matches_single_device(setup):
+    """pmean over the reps axis must reproduce the single-device EOT mean
+    gradient bit-for-bit (same keys, same order)."""
+    model, cfg, sampler, plan, bank = setup
+    data, src = _one_data(model, cfg, bank, 1)
+    mesh = make_mesh({REPS_AXIS: 4})
+    sh_step = jax.jit(make_sharded_eot_pgd_step(model, sampler, plan, cfg, mesh))
+    ref_step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    key = jax.random.key(7)
+    with jax.sharding.set_mesh(mesh):
+        x_sh, aux_sh = sh_step(model.params, src, data, key)
+    x_ref, aux_ref = ref_step(model.params, src, data, key)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(aux_sh["avg_loss"]), float(aux_ref["avg_loss"]), rtol=1e-5
+    )
+
+
+def test_batched_pgd_matches_sequential(setup):
+    model, cfg, sampler, plan, bank = setup
+    datas, srcs = zip(*[_one_data(model, cfg, bank, s) for s in range(4)])
+    batched = batch_attack_data(datas)
+    assert batched.source.shape[0] == 4
+    mesh = make_mesh({DATA_AXIS: 4})
+    bstep = make_batched_pgd_step(model, sampler, plan, cfg, batched, mesh=mesh)
+    keys = jax.random.split(jax.random.key(3), 4)
+    x0 = jnp.stack(srcs)
+    x1, aux = bstep(model.params, x0, batched, keys)
+    assert x1.shape == (4, 1, 32, 32, 3)
+    # sequential reference
+    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    for i in range(4):
+        xi, auxi = step(model.params, srcs[i], datas[i], keys[i])
+        np.testing.assert_allclose(np.asarray(x1[i]), np.asarray(xi), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(aux["avg_loss"][i]), float(auxi["avg_loss"]), rtol=1e-5
+        )
+
+
+def test_batched_step_is_actually_sharded(setup):
+    model, cfg, sampler, plan, bank = setup
+    datas, srcs = zip(*[_one_data(model, cfg, bank, 10 + s) for s in range(8)])
+    batched = batch_attack_data(datas)
+    mesh = make_mesh({DATA_AXIS: 8})
+    bstep = make_batched_pgd_step(model, sampler, plan, cfg, batched, mesh=mesh)
+    keys = jax.random.split(jax.random.key(4), 8)
+    x0 = shard_along(mesh, jnp.stack(srcs), DATA_AXIS)
+    x1, _ = bstep(model.params, x0, batched, keys)
+    shards = x1.sharding.device_set
+    assert len(shards) == 8          # output lives on all 8 devices

@@ -1,0 +1,389 @@
+"""Top-level API: ``immunize`` / ``evaluate`` / ``sweep``.
+
+Functional equivalents of the reference's three entry points:
+
+- :func:`immunize`  ⇔ ``Trainer.run``            (main.py:47-142)
+- :func:`evaluate`  ⇔ ``Inference.run_inference`` (main.py:431-589)
+- :func:`sweep`     ⇔ ``run_all.py``              (run_all.py:23-93)
+
+plus :func:`transfer_perturbation` (main.py:413-429) and the PNG +
+noise-pool artifact contract (main.py:618-622 — the uint8 round-trip is part
+of the measured defense and is preserved here).
+
+Known reference bug *not* replicated: the inference prompt loop re-appends
+the caption prefix and ", detailed" suffix once per noise index
+(main.py:481-482 mutate the loop variable), so with n_noise>1 prompts grow
+like "frozen, detailed, detailed".  We format once per prompt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as _pyrandom
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from tml_image_editing_defense_tpu.attack import make_attack_data, run_pgd
+from tml_image_editing_defense_tpu.configs import (
+    INFERENCE_PROMPTS,
+    PROMPTS_LIST,
+    InferenceConfig,
+    SweepConfig,
+    TrainConfig,
+    format_prompt,
+)
+from tml_image_editing_defense_tpu.core import image_ops
+from tml_image_editing_defense_tpu.core.rng import (
+    KeyStream,
+    load_noise_pool,
+    make_noise_pool,
+    save_noise_pool,
+)
+from tml_image_editing_defense_tpu.core.samplers import make_sampler
+from tml_image_editing_defense_tpu.models import DiffusionModel, build_model
+from tml_image_editing_defense_tpu.pipelines import Img2ImgPipeline
+from tml_image_editing_defense_tpu.utils.checkpoint import load_attack_state, save_attack_state
+from tml_image_editing_defense_tpu.utils.logging import MetricsLogger
+from tml_image_editing_defense_tpu.utils.vis import create_table_plot
+
+
+def training_sampler_kind(family: str, use_lcm: bool) -> str:
+    """Scheduler selection parity with ``Trainer.load_models``
+    (main.py:278-309): LCM when fused, else the family's stock scheduler
+    (PNDM/PLMS for SD-1.5, Euler for SDXL)."""
+    if use_lcm:
+        return "lcm"
+    return "plms" if family == "sd15" else "euler"
+
+
+def _nchw(x: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))     # NCHW → NHWC
+
+
+@dataclass
+class ImmunizeResult:
+    adversarial_image: Image.Image
+    x_adv: jnp.ndarray                 # NHWC [-1,1], pre-quantization
+    noise_pool: Optional[jnp.ndarray]
+    history: list
+    model: DiffusionModel
+
+
+def _default_family(cfg) -> str:
+    return "sdxl" if cfg.use_sdxl else "sd15"
+
+
+def immunize(
+    cfg: TrainConfig,
+    model: Optional[DiffusionModel] = None,
+    logger: Optional[MetricsLogger] = None,
+    resume_from: Optional[Path] = None,
+) -> ImmunizeResult:
+    """PGD immunization of one image (reference Trainer.run, main.py:47-142)."""
+    dtype = jnp.dtype(cfg.dtype)
+    if model is None:
+        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
+                            image_size=cfg.image_size, dtype=dtype)
+    if logger is None:
+        logger = MetricsLogger(name=cfg.experiment_name, config=cfg.asdict(),
+                               output_dir=cfg.output_path)
+    ks = KeyStream(cfg.seed)
+
+    source = _nchw(image_ops.load_image(cfg.source_image_path, cfg.image_size)).astype(dtype)
+    target = _nchw(image_ops.load_image(cfg.target_image_path, cfg.image_size)).astype(dtype)
+
+    # optional caption prefix (main.py:64-72)
+    caption = ""
+    if cfg.default_source_image_caption:
+        caption = cfg.default_source_image_caption
+    elif cfg.add_image_caption_to_prompts:
+        from tml_image_editing_defense_tpu.aux_models.caption import get_image_caption
+
+        caption = get_image_caption(Image.open(cfg.source_image_path).convert("RGB"))
+    if caption:
+        print(f"Running with prefix: {caption}")
+
+    # optional salient-region mask (main.py:311-322)
+    mask = None
+    if cfg.use_segmentation_mask:
+        from tml_image_editing_defense_tpu.aux_models.segment import get_salient_mask
+
+        m = get_salient_mask(cfg.source_image_path, cfg.image_size)     # [H,W] {0,1}
+        mask = jnp.asarray(m, dtype)[None, :, :, None]
+
+    bank = model.embed_prompt_bank([format_prompt(p, caption) for p in cfg.prompts])
+
+    lat_shape = model.latent_shape
+    noise_pool = make_noise_pool(ks.next(), max(cfg.n_noise, 1), lat_shape, dtype)
+
+    # cfg.eta is consumed only by samplers whose step takes it (main.py:219-220);
+    # PLMS/LCM/Euler — the live training schedulers — do not.
+    sampler = make_sampler(
+        training_sampler_kind(model.family, cfg.use_lcm), model.schedule
+    )
+    plan = sampler.plan(
+        cfg.n_denoising_steps_per_iteration,
+        limit_t=700 if cfg.limit_timesteps else None,
+    )
+    if plan.num_steps == 0:
+        raise ValueError(
+            "empty denoising plan: limit_timesteps filtered out every step "
+            f"(K={cfg.n_denoising_steps_per_iteration})"
+        )
+
+    data = make_attack_data(model, cfg, source, target, bank, noise_pool,
+                            target_latent_key=ks.next(), mask=mask)
+
+    x_init, start_it, loop_key = None, 0, ks.next()
+    if resume_from is not None and Path(resume_from).exists():
+        x_init, start_it, loop_key, pool = load_attack_state(resume_from)
+        if pool is not None:
+            data = dataclasses.replace(data, noise_pool=pool.astype(dtype))
+            noise_pool = data.noise_pool
+
+    ckpt_path = Path(cfg.output_path) / "attack_state.npz"
+    it_holder = {"it": start_it}
+
+    def vis_callback(it, x_adv, aux):
+        logs = {k: aux[k] for k in ("avg_loss", "rec_loss", "pert_loss")}
+        it_holder["it"] = it
+        images = None
+        if cfg.enable_visualization:
+            adv = image_ops.to_pil(np.asarray(x_adv).transpose(0, 3, 1, 2))
+            diff = image_ops.to_pil(np.asarray(source - x_adv).transpose(0, 3, 1, 2))
+            out = image_ops.to_pil(np.asarray(aux["output_image"]).transpose(0, 3, 1, 2))
+            grid = create_table_plot(
+                images=[adv, diff, out],
+                captions=["Current Adversarial Image", "Difference Image", "Edited Image"],
+            )
+            images = {"train_images": grid}
+        logger.log(logs, step=it, images=images)
+        if cfg.checkpoint_interval and it and it % cfg.checkpoint_interval == 0:
+            save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
+
+    x_adv, history = run_pgd(
+        model, sampler, plan, cfg, data, loop_key,
+        x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
+    )
+
+    adv_pil = image_ops.to_pil(np.asarray(x_adv).transpose(0, 3, 1, 2))
+    out_dir = Path(cfg.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    adv_pil.save(out_dir / "adversarial_image.png")       # uint8 round-trip artifact
+    pool_to_save = noise_pool if cfg.use_fixed_noise else None
+    if pool_to_save is not None:
+        save_noise_pool(out_dir / "noise.npz", pool_to_save)
+    logger.log_image("final_adversarial_image", adv_pil)
+    return ImmunizeResult(adv_pil, x_adv, pool_to_save, history, model)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+
+def transfer_perturbation(
+    original_perturbation: np.ndarray,
+    original_image: np.ndarray,
+    new_image: np.ndarray,
+    max_perturbation_value: float = 20.0,
+) -> np.ndarray:
+    """σ-ratio-scaled perturbation transfer to an unseen image
+    (main.py:413-429).  NOTE: the reference *subtracts* the scaled
+    perturbation (main.py:426) and clips it to ±20 uint8 levels."""
+    std_ratio = float(np.std(new_image)) / float(np.std(original_image))
+    scale = min(1.0, std_ratio)
+    scaled = np.clip(original_perturbation * scale, -max_perturbation_value, max_perturbation_value)
+    out = np.clip(new_image - scaled, 0, 255)
+    return out.astype(np.uint8)
+
+
+def evaluate(
+    cfg: InferenceConfig,
+    adversarial_image: Image.Image,
+    inference_prompts: Optional[Sequence[str]] = None,
+    model: Optional[DiffusionModel] = None,
+    noises: Optional[jnp.ndarray] = None,
+    training_prompts: Optional[Sequence[str]] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> List[Image.Image]:
+    """Clean-vs-adversarial edit comparison (Inference.run_inference,
+    main.py:431-589): per (prompt × noise) a 5-image grid on the train image,
+    then transfer to validation images with 4-image grids."""
+    del training_prompts  # accepted for signature parity; unused (main.py:469)
+    dtype = jnp.dtype(cfg.dtype)
+    inference_prompts = list(inference_prompts or INFERENCE_PROMPTS)
+    if model is None:
+        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
+                            image_size=cfg.image_size, dtype=dtype)
+    if logger is None:
+        logger = MetricsLogger(name=cfg.experiment_name, config=cfg.asdict(),
+                               output_dir=cfg.output_path)
+    pipeline = Img2ImgPipeline(
+        model, sampler=training_sampler_kind(model.family, cfg.use_lcm), dtype=dtype
+    )
+    ks = KeyStream(cfg.seed)
+    size = cfg.image_size
+
+    source_pil = image_ops.resize_crop_pil(Image.open(cfg.source_image_path).convert("RGB"), size)
+    target_pil = image_ops.resize_crop_pil(Image.open(cfg.target_image_path).convert("RGB"), size)
+    perturbation = np.asarray(adversarial_image, np.float32) - np.asarray(source_pil, np.float32)
+
+    caption = ""
+    if cfg.default_source_image_caption:
+        caption = cfg.default_source_image_caption
+    elif cfg.add_image_caption_to_prompts:
+        from tml_image_editing_defense_tpu.aux_models.caption import get_image_caption
+
+        caption = get_image_caption(source_pil)
+
+    lat_shape = (1,) + model.latent_shape[1:]
+    out_dir = Path(cfg.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    output_images: List[Image.Image] = []
+
+    def edit_pair(clean_img, adv_img, prompt: str, noise):
+        """One clean edit (fresh noise) + one adversarial edit (pinned noise),
+        reference main.py:483-500."""
+        out_clean = pipeline(
+            prompt=prompt, image=clean_img, num_inference_steps=cfg.n_steps,
+            guidance_scale=cfg.guidance_scale, strength=cfg.strength, key=ks.next(),
+        )
+        out_adv = pipeline(
+            prompt=prompt, image=adv_img, num_inference_steps=cfg.n_steps,
+            guidance_scale=cfg.guidance_scale, strength=cfg.strength,
+            noise=noise, key=ks.next(),
+        )
+        return out_clean, out_adv
+
+    def noises_for_prompt():
+        if noises is not None:
+            return [noises[i] for i in range(noises.shape[0])]
+        return [jax.random.normal(ks.next(), lat_shape, dtype) for _ in range(cfg.n_noise)]
+
+    for raw_prompt in inference_prompts:
+        prompt = format_prompt(raw_prompt, caption)
+        for noise_idx, noise in enumerate(noises_for_prompt()):
+            out_clean, out_adv = edit_pair(source_pil, adversarial_image, prompt, noise)
+            grid = create_table_plot(
+                images=[source_pil.resize((size, size)), target_pil.resize((size, size)),
+                        adversarial_image.resize((size, size)),
+                        out_clean.resize((size, size)), out_adv.resize((size, size))],
+                captions=["Source Image", "Target Image", "Adversarial Image",
+                          f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
+            )
+            save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
+            if cfg.save_images:
+                grid.save(out_dir / f"{save_name}_noise_{noise_idx}.png")
+            logger.log_image("Train Images - Validation Prompts", grid, caption=prompt)
+            output_images.append(grid)
+
+    if cfg.validation_images_path is not None and Path(cfg.validation_images_path).exists():
+        val_paths = [
+            Path(line.strip())
+            for line in Path(cfg.validation_images_path).read_text().splitlines()
+            if line.strip()
+        ]
+        for val_path in val_paths:
+            val_pil = image_ops.resize_crop_pil(Image.open(val_path).convert("RGB"), size)
+            val_adv = Image.fromarray(
+                transfer_perturbation(perturbation, np.asarray(source_pil, np.float32),
+                                      np.asarray(val_pil, np.float32))
+            )
+            for raw_prompt in inference_prompts:
+                prompt = format_prompt(raw_prompt, caption)
+                for noise_idx, noise in enumerate(noises_for_prompt()):
+                    out_clean, out_adv = edit_pair(val_pil, val_adv, prompt, noise)
+                    grid = create_table_plot(
+                        images=[val_pil.resize((size, size)), val_adv.resize((size, size)),
+                                out_clean.resize((size, size)), out_adv.resize((size, size))],
+                        captions=["Val Original Image", "Val Adversarial Image",
+                                  f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
+                    )
+                    save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
+                    if cfg.save_images:
+                        grid.save(out_dir / f"val_{val_path.stem}_{save_name}_noise_{noise_idx}.png")
+                    logger.log_image("Val Images - Validation Prompt", grid, caption=prompt)
+
+    return output_images
+
+
+# ---------------------------------------------------------------------------
+# Sweep
+# ---------------------------------------------------------------------------
+
+
+def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
+          image_paths: Optional[Sequence[Path]] = None) -> List[dict]:
+    """Grid sweep {images} × {n_prompts} × {n_noises} (run_all.py:23-93).
+
+    One model is built once and shared across every cell (the reference
+    reloads the full pipeline per cell).  For multi-chip data parallelism
+    over images see :mod:`~tml_image_editing_defense_tpu.parallel.sweep`.
+    """
+    if image_paths is None:
+        image_paths = sorted(
+            p for p in Path(cfg.images_dir).glob("*") if p.suffix in (".jpg", ".png", ".jpeg")
+        )
+    results = []
+    rng = _pyrandom.Random()
+    for image_path in image_paths:
+        image_out = Path(cfg.output_root) / image_path.stem
+        for n_prompts in cfg.n_prompts_grid:
+            # prompt sampling parity with run_all.py:28-33
+            if n_prompts is None:
+                prompts = list(PROMPTS_LIST)
+            elif n_prompts == 1:
+                prompts = [""]
+            else:
+                prompts = [""] + rng.sample(PROMPTS_LIST, n_prompts - 1)
+            for n_noises in cfg.n_noises_grid:
+                cell_dir = image_out / f"n_noises_{n_noises}" / f"n_prompts_{n_prompts}"
+                cell_dir.mkdir(parents=True, exist_ok=True)
+                seed = cfg.seed if cfg.seed is not None else rng.randint(0, 2**32 - 1)
+                train_cfg = TrainConfig(
+                    experiment_name=f"{image_path.stem}_n_noises_{n_noises}_n_prompts_{n_prompts}",
+                    source_image_path=image_path,
+                    target_image_path=image_path,
+                    output_path=cell_dir,
+                    n_optimization_steps=cfg.n_optimization_steps,
+                    n_noise=n_noises if n_noises is not None else 1,
+                    use_fixed_noise=n_noises is not None,
+                    prompts=prompts,
+                    seed=seed,
+                    guidance_scale=3.0,
+                    use_sdxl=cfg.use_sdxl,
+                    use_lcm=cfg.use_lcm,
+                )
+                res = immunize(train_cfg, model=model)
+                model = res.model      # reuse across cells
+                # artifact round-trip (run_all.py:62-66)
+                adv = Image.open(cell_dir / "adversarial_image.png").convert("RGB")
+                pool = load_noise_pool(cell_dir / "noise.npz") if res.noise_pool is not None else None
+                inf_cfg = InferenceConfig(
+                    experiment_name=train_cfg.experiment_name,
+                    source_image_path=image_path,
+                    target_image_path=image_path,
+                    output_path=cell_dir,
+                    n_steps=cfg.inference_n_steps,
+                    guidance_scale=cfg.inference_guidance_scale,
+                    strength=cfg.inference_strength,
+                    use_fixed_noise=n_noises is not None,
+                    n_noise=n_noises if n_noises is not None else 1,
+                    validation_images_path=None,
+                    use_sdxl=cfg.use_sdxl,
+                    use_lcm=cfg.use_lcm,
+                    seed=seed,
+                )
+                evaluate(inf_cfg, adv, INFERENCE_PROMPTS, model=model, noises=pool,
+                         training_prompts=prompts)
+                results.append({"image": str(image_path), "n_prompts": n_prompts,
+                                "n_noises": n_noises, "seed": seed,
+                                "output": str(cell_dir)})
+    return results

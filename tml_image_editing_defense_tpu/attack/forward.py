@@ -72,6 +72,8 @@ def denoise_chain(
         return latents
     step_keys = jax.random.split(key, plan.num_steps)
 
+    b = latents.shape[0]
+
     def body(state, xs):
         x, carry = state
         i, k = xs
@@ -82,7 +84,7 @@ def denoise_chain(
             params["unet"], latent_in, t, cond.ctx,
             text_embeds=cond.text_embeds, time_ids=cond.time_ids,
         )
-        eps_uncond, eps_text = eps[:1], eps[1:]
+        eps_uncond, eps_text = eps[:b], eps[b:]
         guided = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         x, carry = sampler.step(plan, i, carry, guided, x, k)
         return (x, carry), None

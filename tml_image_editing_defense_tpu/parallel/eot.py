@@ -1,0 +1,88 @@
+"""EOT gradient sharding over the mesh ``reps`` axis.
+
+The reference's EOT loop is K sequential gradient samples on one GPU
+(``main.py:88-102``).  Here each chip evaluates ``grad_reps / n_reps_shards``
+samples and the mean gradient is one ``pmean`` over ICI — the direct TPU
+translation SURVEY.md §2 calls for (replacing
+``torch.stack(all_grads).mean(0)``, main.py:102).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax>=0.5 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from tml_image_editing_defense_tpu.attack.pgd import _rep_loss_fn, perturbation_step
+from tml_image_editing_defense_tpu.configs import TrainConfig
+from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
+from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel
+from tml_image_editing_defense_tpu.parallel.mesh import REPS_AXIS
+
+
+def make_sharded_eot_pgd_step(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+    mesh: Mesh,
+):
+    """PGD step with EOT reps sharded over ``mesh[REPS_AXIS]``.
+
+    Returns ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it with
+    the mesh active.  ``cfg.grad_reps`` must divide evenly by the axis size.
+    """
+    n_shards = mesh.shape[REPS_AXIS]
+    if cfg.grad_reps % n_shards:
+        raise ValueError(
+            f"grad_reps={cfg.grad_reps} not divisible by reps-axis size {n_shards}"
+        )
+    local_reps = cfg.grad_reps // n_shards
+    loss_fn = _rep_loss_fn(model, sampler, plan, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
+
+    def local_eot(params, x_adv, data, prompt_idx, rep_keys_local):
+        def body(acc, k):
+            (loss, aux), g = grad_fn(x_adv, params, data, prompt_idx, k)
+            del aux
+            return (acc[0] + g, acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys_local
+        )
+        grad = jax.lax.pmean(gsum / local_reps, REPS_AXIS)
+        avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
+        return grad, avg_loss
+
+    sharded = shard_map(
+        local_eot,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(REPS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, x_adv, data, key):
+        k_prompt, k_reps = jax.random.split(key)
+        prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
+        rep_keys = jax.random.split(k_reps, cfg.grad_reps)
+        grad, avg_loss = sharded(params, x_adv, data, prompt_idx, rep_keys)
+        x_adv = perturbation_step(
+            cfg.norm_type,
+            x_adv=x_adv,
+            grad=grad,
+            x_src=data.source,
+            step_size=cfg.step_size,
+            eps=cfg.eps,
+            min_value=cfg.min_value,
+            max_value=cfg.max_value,
+            mask=data.mask,
+        )
+        return x_adv, {"avg_loss": avg_loss}
+
+    return step

@@ -1,0 +1,77 @@
+"""Pluggable metrics/observability layer.
+
+The reference hard-wires Weights & Biases (``main.py:54-59, 105-135``) —
+init, scalar logs, image grids, source-file archival.  Here the logger is a
+small multiplexer: console + JSONL file sinks always work; a wandb sink
+attaches only if wandb is importable and enabled, and host callbacks only
+fire at visualization intervals so the jitted hot path never syncs.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(
+        self,
+        project: str = "tml-image-editing-defense-tpu",
+        name: Optional[str] = None,
+        config: Optional[dict] = None,
+        output_dir: Optional[Path] = None,
+        use_wandb: bool = True,
+        verbose: bool = True,
+    ):
+        self.name = name
+        self.verbose = verbose
+        self._step = 0
+        self._jsonl = None
+        self._t0 = time.time()
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            self._jsonl = open(output_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # optional dependency
+
+                self._wandb = wandb
+                wandb.init(project=project, config=config or {}, name=name)
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: dict, step: Optional[int] = None, images: Optional[dict] = None):
+        step = self._step if step is None else step
+        self._step = step + 1
+        scalars = {
+            k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float, np.floating, np.integer)) or getattr(v, "ndim", None) == 0
+        }
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({"step": step, "t": time.time() - self._t0, **scalars}) + "\n")
+            self._jsonl.flush()
+        if self.verbose and scalars:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in scalars.items())
+            print(f"[{self.name or 'run'} step {step}] {parts}", flush=True)
+        if self._wandb is not None:
+            payload = dict(scalars)
+            if images:
+                payload.update({k: self._wandb.Image(v) for k, v in images.items()})
+            self._wandb.log(payload, step=step)
+
+    def log_image(self, tag: str, image, caption: str = "", step: Optional[int] = None):
+        if self._wandb is not None:
+            self._wandb.log({tag: self._wandb.Image(image, caption=caption)},
+                            step=self._step if step is None else step)
+
+    def finish(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
