@@ -1,0 +1,154 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Primary metric: wall-clock to immunize one 512² image with the SD-1.5
+encoder attack (200 PGD steps, L∞), per chip — BASELINE.md's quantified
+north-star target is < 5 s/image/chip, so ``vs_baseline = 5.0 / value``
+(>1 ⇒ target beaten).  Extra keys report the diffusion-attack PGD step rate
+(reference L2 config: 10 EOT reps × 2 LCM steps × CFG, remat backprop).
+
+Models are random-weight but full-architecture SD-1.5 (identical compute
+graph and cost to converted checkpoints), bf16 on the MXU.
+All progress goes to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: remote TPU compiles here run ~1-3 min for the
+# big fwd+bwd programs; caching makes driver re-runs near-instant.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_steps(fn, n_warm: int, n_meas: int, *args):
+    """Steady-state seconds/step of a jitted step function x->x."""
+    x = fn(*args)
+    jax.block_until_ready(x)
+    t0 = time.time()
+    for _ in range(n_meas):
+        x = fn(*args)
+    jax.block_until_ready(x)
+    return (time.time() - t0) / n_meas
+
+
+def main() -> None:
+    from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+    from tml_image_editing_defense_tpu.attack.encoder_attack import (
+        make_encoder_attack_loop,
+    )
+    from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.core.samplers import LCMSampler
+    from tml_image_editing_defense_tpu.models import build_model
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    dtype = jnp.bfloat16
+
+    t0 = time.time()
+    model = build_model("sd15", key=jax.random.key(0), dtype=dtype, fast_init=True)
+    log(f"built SD-1.5 bundle (random bf16 weights) in {time.time() - t0:.1f}s")
+
+    key = jax.random.key(1)
+    src = jnp.clip(jax.random.normal(key, (1, 512, 512, 3), jnp.float32) * 0.4, -1, 1)
+    target_latent = model.encode_image(model.params["vae"], src.astype(dtype))
+
+    # ---- 1. encoder attack: 200-step immunization, one scan --------------
+    n_enc_steps = 200
+    enc_loop = jax.jit(
+        make_encoder_attack_loop(
+            model, n_steps=n_enc_steps, norm_type="linf", step_size=0.006, eps=0.1
+        )
+    )
+    t0 = time.time()
+    x_adv, losses = enc_loop(model.params, src.astype(dtype), target_latent, key)
+    jax.block_until_ready(x_adv)
+    log(f"encoder-attack compile+first-run {time.time() - t0:.1f}s")
+    # NOTE: vary the key per call — the axon runtime caches executions with
+    # bit-identical arguments, which silently zeroes the measurement.
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        x_adv, losses = enc_loop(
+            model.params, src.astype(dtype), target_latent, jax.random.key(100 + i)
+        )
+        jax.block_until_ready(x_adv)
+        times.append(time.time() - t0)
+    enc_s_per_image = min(times)
+    log(f"encoder attack: {enc_s_per_image:.3f} s / 200-step image "
+        f"({n_enc_steps / enc_s_per_image:.1f} steps/s)")
+
+    # ---- 2. diffusion attack PGD step (reference L2 config) --------------
+    extras = {}
+    try:
+        cfg = TrainConfig(
+            norm_type="l2",                      # → eps=32, step 7.5, reps 10
+            n_denoising_steps_per_iteration=4,
+            limit_timesteps=True,                # → 2 effective LCM steps
+            guidance_scale=3.0,
+            use_lcm=True,
+            image_size=512,
+            dtype="bfloat16",
+            eot_mode="scan",
+            remat_policy="full",
+            prompts=list(PROMPTS_LIST),
+        )
+        sampler = LCMSampler(model.schedule)
+        plan = sampler.plan(cfg.n_denoising_steps_per_iteration, limit_t=700)
+        bank = model.embed_prompt_bank(
+            [p + ", detailed" for p in cfg.prompts[:8]]  # bank slice: same cost/step
+        )
+        pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
+        data = make_attack_data(model, cfg, src.astype(dtype),
+                                jnp.zeros_like(src, dtype), bank, pool)
+        step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+        t0 = time.time()
+        x1, aux = step(model.params, src.astype(dtype), data, jax.random.key(3))
+        jax.block_until_ready(x1)
+        log(f"diffusion PGD step compile+first-run {time.time() - t0:.1f}s "
+            f"(loss {float(aux['avg_loss']):.1f})")
+        t0 = time.time()
+        n_meas = 3
+        x = x1
+        for i in range(n_meas):
+            x, aux = step(model.params, x, data, jax.random.key(200 + i))
+        jax.block_until_ready(x)
+        diff_s_per_step = (time.time() - t0) / n_meas
+        extras = {
+            "diffusion_pgd_s_per_step": round(diff_s_per_step, 4),
+            "diffusion_pgd_steps_per_sec": round(1.0 / diff_s_per_step, 4),
+            "diffusion_200step_s_per_image": round(200 * diff_s_per_step, 2),
+        }
+        log(f"diffusion attack: {diff_s_per_step:.3f} s/PGD-step "
+            f"({1/diff_s_per_step:.2f} steps/s; 10 reps × 2 LCM steps × CFG)")
+    except Exception as e:  # keep the primary metric even if this leg fails
+        log(f"diffusion bench failed: {type(e).__name__}: {e}")
+        extras = {"diffusion_error": f"{type(e).__name__}: {e}"}
+
+    result = {
+        "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞)",
+        "value": round(enc_s_per_image, 4),
+        "unit": "s/image/chip",
+        "vs_baseline": round(5.0 / enc_s_per_image, 3),
+        "encoder_steps_per_sec": round(n_enc_steps / enc_s_per_image, 2),
+        "device": str(dev),
+        **extras,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Pipeline behaviour: fixed-noise reproducibility, strength plans, SDXL
+windowing/aesthetics, txt2img latents path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from tml_image_editing_defense_tpu.models import build_model
+from tml_image_editing_defense_tpu.pipelines import Img2ImgPipeline, Txt2ImgPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return build_model("tiny", key=jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def tiny_sdxl():
+    return build_model("tiny-sdxl", key=jax.random.key(1))
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(0)
+    return Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8).astype(np.uint8))
+
+
+def test_fixed_noise_reproducible(tiny, img):
+    """Same pinned noise ⇒ identical edit; different noise ⇒ different edit
+    (the reference's fixed-noise evaluation contract,
+    pipeline_stable_diffusion_img2img.py:779-783)."""
+    pipe = Img2ImgPipeline(tiny, sampler="lcm")
+    lat = (1,) + tiny.latent_shape[1:]
+    n1 = jax.random.normal(jax.random.key(2), lat)
+    n2 = jax.random.normal(jax.random.key(3), lat)
+    a = pipe("frozen", img, num_inference_steps=2, strength=0.6, noise=n1,
+             key=jax.random.key(4), output_type="np")
+    b = pipe("frozen", img, num_inference_steps=2, strength=0.6, noise=n1,
+             key=jax.random.key(4), output_type="np")
+    c = pipe("frozen", img, num_inference_steps=2, strength=0.6, noise=n2,
+             key=jax.random.key(4), output_type="np")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_nchw_noise_accepted(tiny, img):
+    """Reference noise pools are NCHW (1,4,64,64) — auto-transposed."""
+    pipe = Img2ImgPipeline(tiny, sampler="lcm")
+    h = tiny.latent_shape[1]
+    c = tiny.latent_shape[3]
+    n_nchw = jax.random.normal(jax.random.key(5), (1, c, h, h))
+    n_nhwc = jnp.transpose(n_nchw, (0, 2, 3, 1))
+    a = pipe("x", img, num_inference_steps=2, noise=n_nchw, key=jax.random.key(6),
+             output_type="np")
+    b = pipe("x", img, num_inference_steps=2, noise=n_nhwc, key=jax.random.key(6),
+             output_type="np")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prompt_changes_output_without_recompile(tiny, img):
+    pipe = Img2ImgPipeline(tiny, sampler="lcm")
+    a = pipe("gold", img, num_inference_steps=2, key=jax.random.key(7), output_type="np")
+    n_compiled = len(pipe._jitted)
+    b = pipe("lego", img, num_inference_steps=2, key=jax.random.key(7), output_type="np")
+    assert len(pipe._jitted) == n_compiled      # no new program for a new prompt
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sdxl_pipeline_with_windowing(tiny_sdxl, img):
+    pipe = Img2ImgPipeline(tiny_sdxl, sampler="euler")
+    out = pipe("hello", img, num_inference_steps=4, strength=1.0,
+               denoising_end=0.5, key=jax.random.key(8), output_type="np")
+    assert out.shape[-1] == 3
+    _, plan = pipe._core((4, 1.0, None, 0.5, False))
+    full_plan = pipe.sampler.plan(4)
+    assert plan.num_steps < full_plan.num_steps   # the tail was dropped
+    # denoising_start + latents handoff
+    lat = jax.random.normal(jax.random.key(9), (1,) + tiny_sdxl.latent_shape[1:])
+    out2 = pipe("hello", None, num_inference_steps=4, latents=lat,
+                denoising_start=0.5, key=jax.random.key(10), output_type="np")
+    assert np.isfinite(np.asarray(out2)).all()
+    # aesthetic-score (refiner-style) time ids build a 5-tuple
+    from tml_image_editing_defense_tpu.attack.forward import make_time_ids
+
+    tids = make_time_ids(64, aesthetic_score=6.0)
+    assert tids.shape == (2, 5)
+    assert float(tids[1, -1]) == 6.0 and float(tids[0, -1]) == 2.5
+
+
+def test_txt2img(tiny, img):
+    pipe = Txt2ImgPipeline(tiny, sampler="lcm")
+    out = pipe("a tree", num_inference_steps=2, key=jax.random.key(11), output_type="np")
+    assert out.shape == (1, 32, 32, 3)
+    # custom latents accepted
+    lat = jax.random.normal(jax.random.key(12), (1,) + tiny.latent_shape[1:])
+    out2 = pipe("a tree", num_inference_steps=2, latents=lat,
+                key=jax.random.key(13), output_type="np")
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_output_types(tiny, img):
+    pipe = Img2ImgPipeline(tiny, sampler="lcm")
+    out = pipe("x", img, num_inference_steps=2, key=jax.random.key(14))
+    assert isinstance(out, Image.Image) and out.size == (32, 32)

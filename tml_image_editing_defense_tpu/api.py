@@ -76,6 +76,8 @@ class ImmunizeResult:
 
 
 def _default_family(cfg) -> str:
+    if getattr(cfg, "model_family", None):
+        return cfg.model_family
     return "sdxl" if cfg.use_sdxl else "sd15"
 
 

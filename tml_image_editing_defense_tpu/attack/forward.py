@@ -35,12 +35,27 @@ class CondInputs:
     time_ids: Optional[jnp.ndarray] = None      # SDXL, [2, 6]
 
 
-def make_time_ids(image_size: int = 512, dtype=jnp.float32) -> jnp.ndarray:
+def make_time_ids(
+    image_size: int = 512,
+    dtype=jnp.float32,
+    aesthetic_score: Optional[float] = None,
+    negative_aesthetic_score: Optional[float] = None,
+) -> jnp.ndarray:
     """SDXL micro-conditioning ids (original/crop/target = 512², reference
-    ``main.py:368-383``), duplicated for CFG."""
-    row = jnp.asarray(
-        [image_size, image_size, 0, 0, image_size, image_size], dtype
-    )
+    ``main.py:368-383``), duplicated for CFG as [neg; pos].
+
+    With ``aesthetic_score`` set, produces the refiner-style 5-tuple
+    (original + crop + score) instead of the 6-tuple — the
+    ``requires_aesthetics_score`` branch of the reference's vendored SDXL
+    pipeline (``sdxl_img2img_pipeline.py:344-378``).
+    """
+    base = [image_size, image_size, 0, 0]
+    if aesthetic_score is not None:
+        neg = negative_aesthetic_score if negative_aesthetic_score is not None else 2.5
+        pos_row = jnp.asarray(base + [aesthetic_score], dtype)
+        neg_row = jnp.asarray(base + [neg], dtype)
+        return jnp.stack([neg_row, pos_row])
+    row = jnp.asarray(base + [image_size, image_size], dtype)
     return jnp.stack([row, row])
 
 

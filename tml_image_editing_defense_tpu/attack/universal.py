@@ -1,0 +1,171 @@
+"""Universal-perturbation trainer (reference C16, ``old/train_noise.py``).
+
+One perturbation tensor trained over a dataset so that *any* covered image,
+once perturbed, resists 1-step LCM editing: per batch/rep the perturbed image
+is VAE-encoded, noised to a random timestep t ∈ [300, 800), denoised in a
+single LCM step under a random edit prompt, decoded, and pushed to stay close
+to the clean image (L2 + L∞ image losses, ``old/train_noise.py:141-158``);
+the normalized mean gradient updates the perturbation with an ε-box clamp
+(``:166-185``).
+
+Deviations from the reference (deliberate bug fixes, flagged in SURVEY.md §3.5):
+- the decoded preview no longer *overwrites* the source/target variable
+  (reference ``:151`` corrupts its own optimization target);
+- the constructed-but-never-stepped Adam optimizer (``:96``) is dropped — the
+  reference's actual update rule is the normalized-gradient step, which is
+  what we implement (an optional optax optimizer can be threaded in later).
+
+Because the timestep is drawn *inside* the step, the 1-step denoise uses a
+traced-t LCM update (:func:`lcm_denoise_single_step`) instead of a host-built
+plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tml_image_editing_defense_tpu.attack.forward import CondInputs, make_time_ids, select_cond
+from tml_image_editing_defense_tpu.attack.losses import lp_distance
+from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel, PromptBank
+
+
+@dataclass
+class UniversalConfig:
+    """Mirrors ``old/train_noise.py:20-48``."""
+
+    eps: float = 0.1
+    step_size: float = 0.006
+    grad_reps: int = 4
+    epochs: int = 1
+    max_steps: int = 100
+    timestep_range: Tuple[int, int] = (300, 800)
+    guidance_scale: float = 1.0            # LCM editing runs guidance-free
+    edit_prompts: Tuple[str, ...] = ("a photo", "an oil painting", "a sketch")
+    default_prompt: str = ""
+    l2_image_coeff: float = 1.0
+    l_inf_image_coeff: float = 0.0
+    apply_image_perturbation: bool = True  # re-anchor so source+pert stays in [-1,1]
+    image_size: int = 512
+
+
+def lcm_denoise_single_step(
+    model: DiffusionModel,
+    params,
+    noisy_latents: jnp.ndarray,
+    t: jnp.ndarray,                       # traced scalar int
+    cond: CondInputs,
+    guidance_scale: float,
+    timestep_scaling: float = 10.0,
+    sigma_data: float = 0.5,
+) -> jnp.ndarray:
+    """One LCM consistency step at a traced timestep (the ``num_inference_steps=1,
+    timesteps=[t]`` call of ``old/train_noise.py:143-149``)."""
+    b = noisy_latents.shape[0]
+    latent_in = jnp.concatenate([noisy_latents, noisy_latents], axis=0)
+    eps = model.apply_unet(
+        params["unet"], latent_in, t, cond.ctx,
+        text_embeds=cond.text_embeds, time_ids=cond.time_ids,
+    )
+    eps_u, eps_c = eps[:b], eps[b:]
+    guided = eps_u + guidance_scale * (eps_c - eps_u)
+    abar = model.schedule.alphas_cumprod[t].astype(noisy_latents.dtype)
+    x0 = (noisy_latents - jnp.sqrt(1.0 - abar) * guided) / jnp.sqrt(abar)
+    s = t.astype(noisy_latents.dtype) * timestep_scaling
+    sd2 = sigma_data**2
+    c_skip = sd2 / (s**2 + sd2)
+    c_out = s / jnp.sqrt(s**2 + sd2)
+    return c_out * x0 + c_skip * noisy_latents    # single step ⇒ denoised output
+
+
+def make_universal_step(model: DiffusionModel, cfg: UniversalConfig, bank: PromptBank):
+    """One optimization step over one source image:
+    ``step(params, pert, source[1,H,W,3], key) -> (pert', avg_loss)``."""
+
+    def rep_loss(pert, params, source, key):
+        k_enc, k_noise, k_t, k_p = jax.random.split(key, 4)
+        perturbed = source + pert
+        z = model.encode_image(params["vae"], perturbed, key=k_enc)
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        t = jax.random.randint(k_t, (), cfg.timestep_range[0], cfg.timestep_range[1])
+        noisy = model.schedule.add_noise(z, noise, t)
+        pidx = jax.random.randint(k_p, (), 0, bank.embeds.shape[0])
+        time_ids = None
+        if bank.pooled is not None:
+            time_ids = make_time_ids(cfg.image_size, source.dtype)
+        cond = select_cond(bank.embeds, bank.uncond, pidx, bank.pooled,
+                           bank.uncond_pooled, time_ids)
+        out_latents = lcm_denoise_single_step(
+            model, params, noisy, t, cond, cfg.guidance_scale
+        )
+        out_image = model.decode_latent(params["vae"], out_latents, scaled=True)
+        loss = jnp.zeros((), out_image.dtype)
+        if cfg.l2_image_coeff:
+            loss = loss + cfg.l2_image_coeff * lp_distance(out_image, source, 2)
+        if cfg.l_inf_image_coeff:
+            loss = loss + cfg.l_inf_image_coeff * lp_distance(out_image, source, jnp.inf)
+        return loss
+
+    grad_fn = jax.value_and_grad(rep_loss, argnums=0)
+
+    def step(params, pert, source, key):
+        rep_keys = jax.random.split(key, cfg.grad_reps)
+
+        def body(acc, k):
+            loss, g = grad_fn(pert, params, source, k)
+            return (acc[0] + g, acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(
+            body, (jnp.zeros_like(pert), jnp.zeros(())), rep_keys
+        )
+        grad = gsum / cfg.grad_reps
+        avg_loss = lsum / cfg.grad_reps
+        # normalized-gradient update + ε clamp (old/train_noise.py:173-180)
+        axes = tuple(range(1, grad.ndim))
+        gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=axes, keepdims=True))
+        pert = pert - grad / (gnorm + 1e-10) * cfg.step_size
+        pert = jnp.clip(pert, -cfg.eps, cfg.eps)
+        if cfg.apply_image_perturbation:
+            # re-anchor so the perturbed image is representable (:183-185)
+            pert = jnp.clip(source + pert, -1.0, 1.0) - source
+        return pert, avg_loss
+
+    return step
+
+
+def train_universal_perturbation(
+    model: DiffusionModel,
+    images: Sequence[np.ndarray],          # each [1,H,W,3] NHWC in [-1,1]
+    cfg: UniversalConfig,
+    key: jax.Array,
+    pert_init: Optional[jnp.ndarray] = None,
+    log_fn=None,
+) -> Tuple[jnp.ndarray, List[float]]:
+    """Dataset loop (``old/train_noise.py:115-185``): shuffled single-image
+    batches until ``max_steps`` or ``epochs`` exhausted."""
+    prompts = [
+        (cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts
+    ]
+    bank = model.embed_prompt_bank(prompts)
+    step = jax.jit(make_universal_step(model, cfg, bank))
+    shape = images[0].shape
+    pert = jnp.zeros(shape, images[0].dtype) if pert_init is None else pert_init
+    losses: List[float] = []
+    count = 0
+    for _ in range(cfg.epochs):
+        key, kperm = jax.random.split(key)
+        order = jax.random.permutation(kperm, len(images))
+        for idx in np.asarray(order):
+            if count >= cfg.max_steps:
+                return pert, losses
+            key, sub = jax.random.split(key)
+            pert, loss = step(model.params, pert, jnp.asarray(images[int(idx)]), sub)
+            losses.append(float(loss))
+            if log_fn is not None:
+                log_fn(count, losses[-1])
+            count += 1
+    return pert, losses

@@ -185,6 +185,9 @@ class TrainConfig:
     use_sdxl: bool = False
     use_lcm: bool = True
     image_size: int = 512
+    #: Explicit model-family override ("sd15" | "sdxl" | "tiny" | "tiny-sdxl");
+    #: None derives from use_sdxl.  tiny families are for dev/CI runs.
+    model_family: Optional[str] = None
 
     # --- TPU-native knobs (no reference equivalent) ---
     #: If True, replicate the reference's ``__post_init__`` override of
@@ -254,6 +257,7 @@ class InferenceConfig:
     use_sdxl: bool = False
     use_lcm: bool = False
     image_size: int = 512
+    model_family: Optional[str] = None
 
     # --- TPU-native knobs ---
     dtype: str = "float32"

@@ -146,7 +146,12 @@ class BaseSampler:
         num_inference_steps: int,
         strength: Optional[float] = None,
         limit_t: Optional[int] = None,
+        min_t: Optional[int] = None,
     ) -> DenoisePlan:
+        """``limit_t`` drops steps with t >= limit_t (the reference's
+        training filter, main.py:198-199, and SDXL ``denoising_start``);
+        ``min_t`` drops steps with t < min_t (SDXL ``denoising_end``
+        windowing, sdxl_img2img_pipeline.py:392-412)."""
         raise NotImplementedError
 
     # -- device side -------------------------------------------------------
@@ -176,13 +181,15 @@ class DDIMSampler(BaseSampler):
         super().__init__(schedule, steps_offset)
         self.eta = eta
 
-    def plan(self, num_inference_steps, strength=None, limit_t=None) -> DenoisePlan:
+    def plan(self, num_inference_steps, strength=None, limit_t=None, min_t=None) -> DenoisePlan:
         k = num_inference_steps
         ratio = self.schedule.num_train_timesteps // k
         ts = _leading_timesteps(self.schedule.num_train_timesteps, k, self.steps_offset)
         ts = _apply_strength(ts, k, strength)
         if limit_t is not None:
             ts = ts[ts < limit_t]
+        if min_t is not None:
+            ts = ts[ts >= min_t]
         return _pack(self.kind, self.schedule, ts, ts, ts - ratio)
 
     def step(self, plan, i, carry, model_output, sample, key):
@@ -221,7 +228,7 @@ class LCMSampler(BaseSampler):
         self.timestep_scaling = timestep_scaling
         self.sigma_data = sigma_data
 
-    def plan(self, num_inference_steps, strength=None, limit_t=None) -> DenoisePlan:
+    def plan(self, num_inference_steps, strength=None, limit_t=None, min_t=None) -> DenoisePlan:
         t_train = self.schedule.num_train_timesteps
         c = t_train // self.original_inference_steps
         origin = np.arange(1, self.original_inference_steps + 1) * c - 1  # ascending
@@ -233,6 +240,8 @@ class LCMSampler(BaseSampler):
         ts = origin[::skipping][:num_inference_steps].astype(np.int64)
         if limit_t is not None:
             ts = ts[ts < limit_t]
+        if min_t is not None:
+            ts = ts[ts >= min_t]
         t_prev = np.concatenate([ts[1:], ts[-1:]]) if len(ts) else ts
         return _pack(self.kind, self.schedule, ts, ts, t_prev)
 
@@ -267,7 +276,7 @@ class PLMSSampler(BaseSampler):
 
     kind = "plms"
 
-    def plan(self, num_inference_steps, strength=None, limit_t=None) -> DenoisePlan:
+    def plan(self, num_inference_steps, strength=None, limit_t=None, min_t=None) -> DenoisePlan:
         k = num_inference_steps
         t_train = self.schedule.num_train_timesteps
         ratio = t_train // k
@@ -278,6 +287,8 @@ class PLMSSampler(BaseSampler):
         ts = _apply_strength(ts, k, strength)
         if limit_t is not None:
             ts = ts[ts < limit_t]
+        if min_t is not None:
+            ts = ts[ts >= min_t]
         m = len(ts)
         t_cur = ts.copy()
         t_prev = ts - ratio
@@ -349,12 +360,14 @@ class EulerSampler(BaseSampler):
 
     kind = "euler"
 
-    def plan(self, num_inference_steps, strength=None, limit_t=None) -> DenoisePlan:
+    def plan(self, num_inference_steps, strength=None, limit_t=None, min_t=None) -> DenoisePlan:
         k = num_inference_steps
         ts = _leading_timesteps(self.schedule.num_train_timesteps, k, self.steps_offset)
         ts = _apply_strength(ts, k, strength)
         if limit_t is not None:
             ts = ts[ts < limit_t]
+        if min_t is not None:
+            ts = ts[ts >= min_t]
         abar_full = np.asarray(self.schedule.alphas_cumprod)
         sig_full = np.sqrt((1.0 - abar_full) / abar_full)
         sig = np.interp(ts.astype(np.float64), np.arange(len(sig_full)), sig_full)

@@ -163,6 +163,33 @@ _FAMILIES = {
 }
 
 
+def _fast_random_params(shapes_tree, seed: int, dtype) -> dict:
+    """Host-side random init from an ``eval_shape`` tree: fan-in-scaled
+    normals for kernels, zeros/ones for biases/norm scales.  Avoids
+    compiling the (huge) on-device init graph — for the full SD-1.5 bundle
+    this turns a ~10-minute device init into seconds, with weight statistics
+    good enough for benchmarking and tests (for real runs load converted
+    checkpoints via models/convert.py)."""
+    from flax import traverse_util
+
+    rng = np.random.default_rng(seed)
+    flat = traverse_util.flatten_dict(shapes_tree)
+    out = {}
+    for path, leaf in flat.items():
+        name, shape = path[-1], tuple(leaf.shape)
+        if name == "bias":
+            arr = np.zeros(shape, np.float32)
+        elif name == "scale":
+            arr = np.ones(shape, np.float32)
+        elif name == "kernel":
+            fan_in = int(np.prod(shape[:-1]))
+            arr = rng.normal(0.0, 1.0 / np.sqrt(max(fan_in, 1)), shape).astype(np.float32)
+        else:  # embeddings
+            arr = rng.normal(0.0, 0.02, shape).astype(np.float32)
+        out[path] = jnp.asarray(arr, dtype)
+    return traverse_util.unflatten_dict(out)
+
+
 def build_model(
     family: str = "sd15",
     key: Optional[jax.Array] = None,
@@ -170,12 +197,18 @@ def build_model(
     image_size: Optional[int] = None,
     params: Optional[dict] = None,
     tokenizer_paths: Optional[Sequence] = None,
+    fast_init: bool = False,
+    vae_dtype=None,
 ) -> DiffusionModel:
     """Construct a model bundle; random-init params unless given.
 
     ``image_size`` defaults to the family's native size, but the reference
     always trains SDXL at 512 too (its dataset transform is fixed at 512,
     ``data/dataset.py:20-21``) — pass ``image_size=512`` for that.
+
+    ``vae_dtype`` lets the VAE run at a higher precision than the UNet — the
+    TPU analog of the reference's fp32 VAE upcast for SDXL
+    (``sdxl_img2img_pipeline.py:490-515``): UNet bf16 on the MXU, VAE f32.
     """
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
@@ -185,8 +218,9 @@ def build_model(
     if family == "tiny-sdxl":
         base_family = "sdxl"
 
+    vae_dtype = dtype if vae_dtype is None else vae_dtype
     unet = UNet2DCondition(unet_cfg, dtype=dtype)
-    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=vae_dtype)
     texts = tuple(CLIPTextModel(c, dtype=dtype) for c in text_cfgs)
 
     if tokenizer_paths is None:
@@ -214,14 +248,33 @@ def build_model(
                 "text_embeds": jnp.zeros((1, pooled_dim), dtype),
                 "time_ids": jnp.zeros((1, 6), dtype),
             }
-        unet_params = unet.init(k_unet, sample, jnp.zeros((), jnp.int32), ctx, **kwargs)["params"]
         img = jnp.zeros((1, image_size, image_size, vae_cfg.in_channels), dtype)
-        vae_params = vae.init(k_vae, img, jax.random.key(0))["params"]
-        text_params = tuple(
-            tm.init(k, jnp.zeros((1, c.max_length), jnp.int32))["params"]
-            for tm, c, k in zip(texts, text_cfgs, k_txt)
-        )
-        params = {"unet": unet_params, "vae": vae_params, "text": text_params}
+        ids = jnp.zeros((1, text_cfgs[0].max_length), jnp.int32)
+        if fast_init:
+            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+            u_shapes = jax.eval_shape(
+                lambda: unet.init(jax.random.key(0), sample, jnp.zeros((), jnp.int32), ctx, **kwargs)
+            )["params"]
+            v_shapes = jax.eval_shape(lambda: vae.init(jax.random.key(0), img, jax.random.key(0)))["params"]
+            t_shapes = [
+                jax.eval_shape(lambda tm=tm, c=c: tm.init(jax.random.key(0), jnp.zeros((1, c.max_length), jnp.int32)))["params"]
+                for tm, c in zip(texts, text_cfgs)
+            ]
+            params = {
+                "unet": _fast_random_params(u_shapes, seed, dtype),
+                "vae": _fast_random_params(v_shapes, seed + 1, dtype),
+                "text": tuple(
+                    _fast_random_params(s, seed + 2 + i, dtype) for i, s in enumerate(t_shapes)
+                ),
+            }
+        else:
+            unet_params = unet.init(k_unet, sample, jnp.zeros((), jnp.int32), ctx, **kwargs)["params"]
+            vae_params = vae.init(k_vae, img, jax.random.key(0))["params"]
+            text_params = tuple(
+                tm.init(k, ids)["params"]
+                for tm, c, k in zip(texts, text_cfgs, k_txt)
+            )
+            params = {"unet": unet_params, "vae": vae_params, "text": text_params}
 
     return DiffusionModel(
         family=base_family,

@@ -57,14 +57,28 @@ class Img2ImgPipeline:
     def _core(self, plan_key):
         if plan_key in self._jitted:
             return self._jitted[plan_key]
-        num_steps, strength = plan_key
-        plan = self.sampler.plan(num_steps, strength=strength)
+        num_steps, strength, d_start, d_end, from_latents = plan_key
+        # SDXL denoising windowing (sdxl_img2img_pipeline.py:306-320, 392-412):
+        # denoising_start drops the head (t >= T(1-start)); denoising_end
+        # drops the tail (t < T(1-end)).
+        T = self.model.schedule.num_train_timesteps
+        limit_t = None if d_start is None else int(round(T * (1.0 - d_start)))
+        min_t = None if d_end is None else int(round(T * (1.0 - d_end)))
+        plan = self.sampler.plan(
+            num_steps,
+            strength=None if d_start is not None else strength,
+            limit_t=limit_t,
+            min_t=min_t,
+        )
 
         @jax.jit
-        def generate(params, image, ctx, text_embeds, time_ids, noise, key, guidance_scale):
+        def generate(params, image_or_latents, ctx, text_embeds, time_ids, noise, key, guidance_scale):
             k_vae, k_chain = jax.random.split(key)
-            z = self.model.encode_image(params["vae"], image, key=k_vae)
-            x = self.sampler.add_noise(plan, z, noise)
+            if from_latents:
+                x = image_or_latents          # already noised (denoising_start)
+            else:
+                z = self.model.encode_image(params["vae"], image_or_latents, key=k_vae)
+                x = self.sampler.add_noise(plan, z, noise)
             cond = CondInputs(ctx=ctx, text_embeds=text_embeds, time_ids=time_ids)
             x = denoise_chain(
                 self.model, self.sampler, plan, params, x, cond,
@@ -87,13 +101,18 @@ class Img2ImgPipeline:
             image = image[None]
         return image
 
-    def _prepare_cond(self, prompt: str, negative_prompt: str):
+    def _prepare_cond(self, prompt: str, negative_prompt: str,
+                      aesthetic_score=None, negative_aesthetic_score=None):
         cond, uncond, pooled, uncond_pooled = self.model.encode_prompt(prompt, negative_prompt)
         ctx = jnp.stack([uncond, cond]).astype(self.dtype)
         te, tids = None, None
         if pooled is not None:
             te = jnp.stack([uncond_pooled, pooled]).astype(self.dtype)
-            tids = make_time_ids(self.model.image_size, self.dtype)
+            tids = make_time_ids(
+                self.model.image_size, self.dtype,
+                aesthetic_score=aesthetic_score,
+                negative_aesthetic_score=negative_aesthetic_score,
+            )
         return ctx, te, tids
 
     def __call__(
@@ -107,22 +126,42 @@ class Img2ImgPipeline:
         negative_prompt: str = "",
         key: Optional[jax.Array] = None,
         output_type: str = "pil",
+        latents: Optional[jnp.ndarray] = None,
+        denoising_start: Optional[float] = None,
+        denoising_end: Optional[float] = None,
+        aesthetic_score: Optional[float] = None,
+        negative_aesthetic_score: Optional[float] = None,
     ):
         """Edit ``image`` with ``prompt``.  ``noise`` (NHWC latent, or NCHW —
         auto-transposed) pins the initial latent noise exactly like the
-        reference's ``noise=`` parameter."""
+        reference's ``noise=`` parameter.  ``latents`` + ``denoising_start``
+        continue a partially-denoised latent (SDXL base→refiner handoff);
+        ``denoising_end`` stops early and returns the decode of the
+        intermediate latent."""
         key = jax.random.key(0) if key is None else key
-        img = self._prepare_image(image)
-        ctx, te, tids = self._prepare_cond(prompt, negative_prompt)
-        generate, plan = self._core((num_inference_steps, float(strength)))
+        from_latents = latents is not None
+        ctx, te, tids = self._prepare_cond(
+            prompt, negative_prompt, aesthetic_score, negative_aesthetic_score
+        )
+        generate, plan = self._core(
+            (num_inference_steps, float(strength), denoising_start, denoising_end,
+             from_latents)
+        )
         lat_shape = (1,) + self.model.latent_shape[1:]
-        if noise is None:
-            key, sub = jax.random.split(key)
-            noise = jax.random.normal(sub, lat_shape, self.dtype)
+        if from_latents:
+            img = jnp.asarray(latents, self.dtype)
+            if img.shape != lat_shape and img.ndim == 4:
+                img = jnp.transpose(img, (0, 2, 3, 1))
+            noise = jnp.zeros(lat_shape, self.dtype)
         else:
-            noise = jnp.asarray(noise, self.dtype)
-            if noise.shape != lat_shape and noise.ndim == 4:
-                noise = jnp.transpose(noise, (0, 2, 3, 1))   # NCHW → NHWC
+            img = self._prepare_image(image)
+            if noise is None:
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, lat_shape, self.dtype)
+            else:
+                noise = jnp.asarray(noise, self.dtype)
+                if noise.shape != lat_shape and noise.ndim == 4:
+                    noise = jnp.transpose(noise, (0, 2, 3, 1))   # NCHW → NHWC
         out = generate(self.model.params, img, ctx, te, tids, noise, key,
                        jnp.asarray(guidance_scale, self.dtype))
         if output_type == "pil":

@@ -1,0 +1,75 @@
+"""Profiling/tracing (SURVEY.md §5: the reference has only ad-hoc
+``time.time()`` prints in legacy playgrounds; the rebuild formalizes this).
+
+- :func:`trace` — context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable trace of the jitted hot path.
+- :class:`StepTimer` — cheap steady-state step timing with compile-time
+  separation (first call is reported separately, not averaged in).
+- :func:`device_memory_stats` — live HBM usage of the attack program.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/tid_trace", host_tracer_level: int = 2):
+    """``with trace("/tmp/trace"): step(...)`` → profile in TensorBoard."""
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Accumulates per-step wall times; first (compile) step kept separate."""
+
+    def __init__(self):
+        self.compile_time: Optional[float] = None
+        self.times = []
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.time() - self._t0
+        if self.compile_time is None:
+            self.compile_time = dt
+        else:
+            self.times.append(dt)
+
+    @property
+    def steady_state(self) -> Optional[float]:
+        return min(self.times) if self.times else None
+
+    def summary(self) -> Dict[str, float]:
+        out = {"compile_s": self.compile_time or 0.0, "n_steps": len(self.times)}
+        if self.times:
+            out.update(
+                steady_min_s=min(self.times),
+                steady_mean_s=sum(self.times) / len(self.times),
+            )
+        return out
+
+
+def device_memory_stats(device=None) -> Dict[str, int]:
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+        return {
+            "bytes_in_use": stats.get("bytes_in_use", -1),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use", -1),
+            "bytes_limit": stats.get("bytes_limit", -1),
+        }
+    except Exception:
+        return {}
