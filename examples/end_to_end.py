@@ -1,0 +1,92 @@
+"""End-to-end example mirroring the reference's ``__main__`` flow
+(``main.py:592-651``): train → save artifacts (PNG + noise pool) → reload
+through the uint8 round-trip → evaluate with the training noises.
+
+Run small/dev:   python examples/end_to_end.py --family tiny --steps 10
+Run full SD-1.5: python examples/end_to_end.py --source path/to/img.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from PIL import Image
+
+from tml_image_editing_defense_tpu import api
+from tml_image_editing_defense_tpu.configs import (
+    INFERENCE_PROMPTS,
+    InferenceConfig,
+    TrainConfig,
+)
+from tml_image_editing_defense_tpu.core.rng import load_noise_pool
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", type=Path, default=Path("/root/reference/data/images/japan.jpg"))
+    ap.add_argument("--target", type=Path, default=None)
+    ap.add_argument("--output", type=Path, default=Path("./output/example"))
+    ap.add_argument("--family", type=str, default=None, help="sd15|sdxl|tiny")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--use-lcm-training", action="store_true", default=True)
+    ap.add_argument("--use-lcm-inference", action="store_true", default=False)
+    args = ap.parse_args()
+    target = args.target or args.source
+    dev = args.family in ("tiny", "tiny-sdxl")
+    size = 32 if dev else 512
+
+    # Part 1: training (reference main.py:603-619)
+    train_cfg = TrainConfig(
+        source_image_path=args.source,
+        target_image_path=target,
+        output_path=args.output,
+        n_optimization_steps=args.steps,
+        guidance_scale=4.0,
+        n_noise=1,
+        use_fixed_noise=True,
+        use_lcm=args.use_lcm_training,
+        model_family=args.family,
+        image_size=size,
+        **(dict(n_denoising_steps_per_iteration=2, limit_timesteps=False,
+                derive_norm_hyperparams=False, norm_type="linf", eps=0.1,
+                step_size=0.02, grad_reps=2, apply_loss_on_latents=True,
+                apply_loss_on_images=False, perturbation_loss_lambda=0.0,
+                prompts=["melting", "origami"]) if dev else {}),
+    )
+    result = api.immunize(train_cfg)
+
+    # Artifact round-trip (reference main.py:618-622): PNG quantization is
+    # deliberately part of the measured defense.
+    adversarial_image = Image.open(args.output / "adversarial_image.png").convert("RGB")
+    noises = load_noise_pool(args.output / "noise.npz")
+
+    # Part 2: inference (reference main.py:624-651)
+    inference_cfg = InferenceConfig(
+        experiment_name="use_train_noises",
+        source_image_path=args.source,
+        target_image_path=target,
+        output_path=args.output / "eval",
+        n_steps=4 if args.use_lcm_inference else (2 if dev else 50),
+        guidance_scale=4.0,
+        strength=0.60,
+        use_fixed_noise=True,
+        n_noise=train_cfg.n_noise,
+        validation_images_path=None,
+        use_lcm=args.use_lcm_inference or dev,
+        model_family=args.family,
+        image_size=size,
+    )
+    grids = api.evaluate(
+        inference_cfg,
+        adversarial_image,
+        inference_prompts=INFERENCE_PROMPTS[:2] if dev else INFERENCE_PROMPTS,
+        model=result.model,
+        noises=noises,
+        training_prompts=train_cfg.prompts,
+    )
+    print(f"{len(grids)} comparison grids -> {inference_cfg.output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# TPU-pod launcher — the cluster-launch equivalent of the reference's SLURM
+# batch script (tml_project.slurm:1-21), rebuilt for TPU VMs.
+#
+# The reference's "distribution" was a hand-split image list pinned to two
+# GPUs (run_all.py:16-21).  Here every host of a TPU pod slice runs the same
+# sweep entrypoint; jax.distributed wires the hosts together and the sweep's
+# data-parallel mesh shards images over all chips (parallel/sweep.py).
+# Host-sharding of the image list happens by process index, so no tensor
+# traffic crosses DCN — each host only reads its own slice of inputs.
+#
+# Usage (from a machine with gcloud access to the pod):
+#   scripts/launch_tpu_pod.sh <tpu-name> <zone> <images-dir> <output-root>
+set -euo pipefail
+
+TPU_NAME=${1:?tpu name}
+ZONE=${2:?zone}
+IMAGES_DIR=${3:?images dir}
+OUTPUT_ROOT=${4:?output root}
+
+gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all --command "
+  cd \$HOME/tml_image_editing_defense_tpu &&
+  python - <<'PY'
+import jax
+jax.distributed.initialize()          # multi-host: one process per host
+from pathlib import Path
+from tml_image_editing_defense_tpu import api
+from tml_image_editing_defense_tpu.configs import SweepConfig
+
+cfg = SweepConfig(images_dir=Path('$IMAGES_DIR'),
+                  output_root=Path('$OUTPUT_ROOT'))
+# host-shard the image list (the DCN tier: no inter-host tensor traffic)
+images = sorted(p for p in cfg.images_dir.glob('*')
+                if p.suffix in ('.jpg', '.png', '.jpeg'))
+mine = images[jax.process_index()::jax.process_count()]
+api.sweep(cfg, image_paths=mine)
+PY
+"

@@ -1,0 +1,102 @@
+"""Preemption handling, params IO, profiling utilities, vis grids."""
+
+import os
+import signal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from tml_image_editing_defense_tpu.models import build_model
+from tml_image_editing_defense_tpu.models.checkpoint_io import load_params, save_params
+from tml_image_editing_defense_tpu.utils.preemption import preemption_guard
+from tml_image_editing_defense_tpu.utils.profiling import StepTimer, device_memory_stats
+from tml_image_editing_defense_tpu.utils.vis import add_text_to_image, create_table_plot
+
+
+def test_preemption_guard_sets_flag():
+    with preemption_guard() as flag:
+        assert not flag
+        os.kill(os.getpid(), signal.SIGUSR1)
+        # signal delivery is synchronous for same-process kill on the main thread
+        assert flag
+        assert flag.signum == signal.SIGUSR1
+    # handler restored: flag untouched by a second signal? (would raise default)
+
+
+def test_preempted_immunize_checkpoints(tmp_path):
+    """A preempted run writes attack_state.npz and exits cleanly."""
+    from tml_image_editing_defense_tpu import api
+    from tml_image_editing_defense_tpu.configs import TrainConfig
+
+    rng = np.random.default_rng(0)
+    img = tmp_path / "s.jpg"
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8).astype(np.uint8)).save(img)
+    model = build_model("tiny", key=jax.random.key(0))
+    cfg = TrainConfig(
+        source_image_path=img, target_image_path=img, output_path=tmp_path,
+        n_optimization_steps=50, n_denoising_steps_per_iteration=2,
+        limit_timesteps=False, derive_norm_hyperparams=False, norm_type="linf",
+        eps=0.1, step_size=0.02, grad_reps=1, apply_loss_on_latents=True,
+        apply_loss_on_images=False, perturbation_loss_lambda=0.0, image_size=32,
+        prompts=["a"], enable_visualization=False, image_visualization_interval=5,
+    )
+
+    calls = {"n": 0}
+    orig_run = api.run_pgd
+
+    def preempting_run(*a, **kw):
+        # set the flag after a couple of iterations via the vis callback
+        flag = kw.get("stop_flag")
+        orig_cb = kw.get("vis_callback")
+
+        def cb(it, x, aux):
+            calls["n"] += 1
+            if orig_cb:
+                orig_cb(it, x, aux)
+            if calls["n"] >= 2 and flag is not None:
+                flag.set(signal.SIGUSR1)
+
+        kw["vis_callback"] = cb
+        return orig_run(*a, **kw)
+
+    api.run_pgd = preempting_run
+    try:
+        api.immunize(cfg, model=model)
+    finally:
+        api.run_pgd = orig_run
+    assert (tmp_path / "attack_state.npz").exists()
+
+
+def test_params_io_roundtrip(tmp_path):
+    model = build_model("tiny", key=jax.random.key(0))
+    p = tmp_path / "params.msgpack"
+    save_params(p, model.params)
+    template = jax.tree.map(jnp.zeros_like, model.params)
+    loaded = load_params(p, template)
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    s = t.summary()
+    assert s["n_steps"] == 2 and t.compile_time is not None
+
+
+def test_vis_grid_shapes():
+    imgs = [Image.fromarray(np.zeros((32, 32, 3), np.uint8)) for _ in range(3)]
+    grid = create_table_plot(imgs, captions=["a", "bb", "a longer caption wrapping"])
+    assert grid.width == 96
+    assert grid.height > 32
+    arr = add_text_to_image(np.zeros((32, 32, 3), np.uint8), "hello", min_lines=2)
+    assert arr.shape[0] > 32 and arr.shape[1] == 32
+
+
+def test_memory_stats_dict():
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)

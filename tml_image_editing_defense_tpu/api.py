@@ -169,10 +169,20 @@ def immunize(
         if cfg.checkpoint_interval and it and it % cfg.checkpoint_interval == 0:
             save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
 
-    x_adv, history = run_pgd(
-        model, sampler, plan, cfg, data, loop_key,
-        x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
-    )
+    from tml_image_editing_defense_tpu.utils.preemption import preemption_guard
+
+    with preemption_guard() as preempted:
+        x_adv, history = run_pgd(
+            model, sampler, plan, cfg, data, loop_key,
+            x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
+            stop_flag=preempted,
+        )
+    if preempted:
+        # checkpoint so a relaunch resumes (the handling the reference's
+        # SLURM --signal=USR1@120 never got, tml_project.slurm:7)
+        last_it = history[-1].get("preempted_at", it_holder["it"]) if history else 0
+        save_attack_state(ckpt_path, x_adv, last_it, loop_key, noise_pool)
+        print(f"[immunize] preempted at iteration {last_it}; state -> {ckpt_path}")
 
     adv_pil = image_ops.to_pil(np.asarray(x_adv).transpose(0, 3, 1, 2))
     out_dir = Path(cfg.output_path)

@@ -318,15 +318,24 @@ def run_pgd(
     x_init: Optional[jnp.ndarray] = None,
     vis_callback: Optional[Callable] = None,
     start_iteration: int = 0,
+    stop_flag=None,
 ) -> Tuple[jnp.ndarray, list]:
     """Host-driven PGD loop with optional visualization callbacks at
     ``cfg.image_visualization_interval`` (reference main.py:117-135).  The
-    step itself is jitted once; callbacks only sync at vis iterations."""
+    step itself is jitted once; callbacks only sync at vis iterations.
+
+    ``stop_flag``: truthy-checkable object (see utils/preemption.py) polled
+    between steps; on preemption the loop returns early with the current
+    iterate.
+    """
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
     x_adv = data.source if x_init is None else x_init
     history = []
     n = cfg.n_optimization_steps
     for it in range(start_iteration, n):
+        if stop_flag:
+            history.append({"preempted_at": it})
+            break
         key, sub = jax.random.split(key)
         x_adv, aux = step(model.params, x_adv, data, sub)
         if vis_callback is not None and (
