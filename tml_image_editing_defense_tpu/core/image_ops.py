@@ -27,19 +27,23 @@ from PIL import Image
 
 
 def resize_shorter_side(img: Image.Image, size: int) -> Image.Image:
-    """torchvision ``Resize(size)`` semantics: scale so the shorter side == size."""
+    """torchvision ``Resize(size)`` semantics: shorter side → ``size``, long
+    side ``int(size * long / short)`` (truncation, per torchvision
+    ``_compute_resized_output_size``)."""
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
+        new_w, new_h = size, max(1, int(size * h / w))
     else:
-        new_w, new_h = max(1, round(w * size / h)), size
+        new_w, new_h = max(1, int(size * w / h)), size
     return img.resize((new_w, new_h), Image.BILINEAR)
 
 
 def center_crop_pil(img: Image.Image, size: int) -> Image.Image:
+    """torchvision ``CenterCrop`` offset math: ``int(round((dim - size)/2))``
+    (round-half-even, matching ``F.center_crop``)."""
     w, h = img.size
-    left = (w - size) // 2
-    top = (h - size) // 2
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
     return img.crop((left, top, left + size, top + size))
 
 
@@ -96,9 +100,9 @@ def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Antialiased bilinear shorter-side resize of an NCHW batch (static shapes)."""
     n, c, h, w = x.shape
     if h <= w:
-        new_h, new_w = size, max(1, round(w * size / h))
+        new_h, new_w = size, max(1, int(size * w / h))
     else:
-        new_h, new_w = max(1, round(h * size / w)), size
+        new_h, new_w = max(1, int(size * h / w)), size
     return jax.image.resize(x, (n, c, new_h, new_w), method="bilinear", antialias=True)
 
 
