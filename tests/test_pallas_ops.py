@@ -64,3 +64,32 @@ def test_kernels_jit_and_grad_safe():
 
     out = f(x_adv, grad, src)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_kernels_under_vmap():
+    """The batched sweep vmaps the PGD step over images — the kernels must
+    batch correctly (interpret mode exercises the pallas batching rule)."""
+    B = 3
+    x_adv = jax.random.normal(jax.random.key(20), (B, 1, 16, 16, 3)) * 0.2
+    grad = jax.random.normal(jax.random.key(21), (B, 1, 16, 16, 3))
+    src = jnp.clip(jax.random.normal(jax.random.key(22), (B, 1, 16, 16, 3)) * 0.3, -1, 1)
+
+    def one(a, g, s):
+        return pgd_linf_update(a, g, s, 0.006, 0.1, -1.0, 1.0, interpret=True)
+
+    got = jax.vmap(one)(x_adv, grad, src)
+    want = jnp.stack([
+        linf_perturbation_step(x_adv[i], grad[i], src[i], 0.006, 0.1, -1.0, 1.0)
+        for i in range(B)
+    ])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+    def one_l2(a, g, s):
+        return pgd_l2_update(a, g, s, 2.0, 0.5, -1.0, 1.0, interpret=True)
+
+    got2 = jax.vmap(one_l2)(x_adv, grad, src)
+    want2 = jnp.stack([
+        l2_perturbation_step(x_adv[i], grad[i], src[i], 2.0, 0.5, -1.0, 1.0)
+        for i in range(B)
+    ])
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5, atol=1e-6)

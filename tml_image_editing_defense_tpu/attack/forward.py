@@ -115,6 +115,29 @@ def denoise_chain(
     return x
 
 
+def attack_forward_from_latent(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    params,
+    z_scaled: jnp.ndarray,             # [1, h, w, 4] — scaled VAE latent
+    cond: CondInputs,
+    init_noise: jnp.ndarray,           # [1, h, w, 4] — selected pool entry
+    guidance_scale: float,
+    key: jax.Array,
+    remat_policy: str = "full",
+) -> jnp.ndarray:
+    """Post-encode tail of the editing chain: noise-add → K-step denoise →
+    unscale (reference main.py:194-245).  Split out so the EOT loop can share
+    one VAE-encoder forward/VJP across reps (the encode is loop-invariant,
+    main.py:191 recomputes it every rep)."""
+    x = sampler.add_noise(plan, z_scaled, init_noise)         # main.py:216
+    x = denoise_chain(
+        model, sampler, plan, params, x, cond, guidance_scale, key, remat_policy
+    )
+    return x / model.vae_scaling                              # main.py:245
+
+
 def attack_forward(
     model: DiffusionModel,
     sampler: BaseSampler,
@@ -131,8 +154,7 @@ def attack_forward(
     returns ``latents / 0.18215`` at :245)."""
     k_vae, k_chain = jax.random.split(key)
     z = model.encode_image(params["vae"], image, key=k_vae)   # scaled (main.py:191)
-    x = sampler.add_noise(plan, z, init_noise)                # main.py:216
-    x = denoise_chain(
-        model, sampler, plan, params, x, cond, guidance_scale, k_chain, remat_policy
+    return attack_forward_from_latent(
+        model, sampler, plan, params, z, cond, init_noise,
+        guidance_scale, k_chain, remat_policy,
     )
-    return x / model.vae_scaling                              # main.py:245

@@ -200,6 +200,56 @@ def _rep_loss_fn(
     return loss_fn
 
 
+def _rep_loss_from_dist(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+):
+    """Per-rep loss as a function of the VAE posterior (mean, logvar) instead
+    of the image.  Key-stream layout is identical to :func:`_rep_loss_fn`
+    (k_noise / k_vae / k_chain), so results are bitwise-equal."""
+    from tml_image_editing_defense_tpu.attack.forward import attack_forward_from_latent
+    from tml_image_editing_defense_tpu.models.vae import sample_latent
+
+    def loss_fn(dist, params, data: AttackData, prompt_idx, key):
+        mean, logvar = dist
+        k_noise, k_fwd = jax.random.split(key)
+        if cfg.use_fixed_noise:
+            idx = jax.random.randint(k_noise, (), 0, data.noise_pool.shape[0])
+            noise = jax.lax.dynamic_index_in_dim(data.noise_pool, idx, 0, keepdims=False)
+        else:
+            noise = jax.random.normal(
+                k_noise, data.noise_pool.shape[1:], data.noise_pool.dtype
+            )
+        cond = select_cond(
+            data.bank_embeds, data.bank_uncond, prompt_idx,
+            data.bank_pooled, data.bank_uncond_pooled, data.time_ids,
+        )
+        k_vae, k_chain = jax.random.split(k_fwd)
+        z = sample_latent(k_vae, mean, logvar) * model.vae_scaling   # main.py:191
+        out_latent = attack_forward_from_latent(
+            model, sampler, plan, params, z, cond, noise,
+            cfg.guidance_scale, k_chain, cfg.remat_policy,
+        )
+        output_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+        if cfg.apply_loss_on_images:
+            rec = lp_distance(output_image, data.target, 2)
+        elif cfg.apply_loss_on_latents:
+            rec = lp_distance(out_latent, data.target_latent, 2)
+        else:
+            raise ValueError("set apply_loss_on_images or apply_loss_on_latents")
+        if cfg.perturbation_loss_lambda > 0:
+            pert = perturbation_loss(output_image, data.source)
+            loss = cfg.rec_loss_lambda * rec + cfg.perturbation_loss_lambda * pert
+        else:
+            pert = jnp.zeros((), rec.dtype)
+            loss = cfg.rec_loss_lambda * rec
+        return loss, (rec, pert, output_image)
+
+    return loss_fn
+
+
 def make_eot_grad(
     model: DiffusionModel,
     sampler: BaseSampler,
@@ -207,8 +257,17 @@ def make_eot_grad(
     cfg: TrainConfig,
 ):
     """EOT gradient: mean over ``grad_reps`` independent samples
-    (main.py:88-102), prompt drawn once per call (main.py:85-87)."""
-    loss_fn = _rep_loss_fn(model, sampler, plan, cfg)
+    (main.py:88-102), prompt drawn once per call (main.py:85-87).
+
+    TPU optimization over the reference: the VAE-encoder forward and backward
+    are loop-invariant across reps (the reference re-encodes every rep,
+    main.py:191), so the encode runs once and its VJP is applied once to the
+    rep-accumulated posterior gradient — identical math, ~2 fewer VAE passes
+    per rep.
+    """
+    from tml_image_editing_defense_tpu.models.vae import AutoencoderKL
+
+    loss_fn = _rep_loss_from_dist(model, sampler, plan, cfg)
     grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
 
     def eot(params, x_adv, data: AttackData, key):
@@ -216,24 +275,34 @@ def make_eot_grad(
         prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
         rep_keys = jax.random.split(k_reps, cfg.grad_reps)
 
+        def encode(x):
+            return model.vae.apply(
+                {"params": params["vae"]}, x, method=AutoencoderKL.encode
+            )
+
+        dist, vjp_fn = jax.vjp(encode, x_adv)
+
         if cfg.eot_mode == "vmap":
-            (losses, auxes), grads = jax.vmap(
-                lambda k: grad_fn(x_adv, params, data, prompt_idx, k)
+            (losses, auxes), gdists = jax.vmap(
+                lambda k: grad_fn(dist, params, data, prompt_idx, k)
             )(rep_keys)
-            grad = jnp.mean(grads, axis=0)
+            gdist = jax.tree.map(lambda g: jnp.mean(g, axis=0), gdists)
             avg_loss = jnp.mean(losses)
             rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
         else:  # "scan" — sequential reps, lowest memory
-            def body(acc, k):
-                (loss, aux), g = grad_fn(x_adv, params, data, prompt_idx, k)
-                return (acc[0] + g, acc[1] + loss), aux
+            zero = jax.tree.map(jnp.zeros_like, dist)
 
-            (gsum, lsum), auxes = jax.lax.scan(
-                body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys
-            )
-            grad = gsum / cfg.grad_reps
+            def body(acc, k):
+                (loss, aux), g = grad_fn(dist, params, data, prompt_idx, k)
+                gacc = jax.tree.map(jnp.add, acc[0], g)
+                return (gacc, acc[1] + loss), aux
+
+            (gsum, lsum), auxes = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys)
+            gdist = jax.tree.map(lambda g: g / cfg.grad_reps, gsum)
             avg_loss = lsum / cfg.grad_reps
             rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
+
+        (grad,) = vjp_fn(gdist)
 
         aux = {
             "avg_loss": avg_loss,
@@ -262,10 +331,19 @@ def make_pgd_step(
     ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it once and the
     whole reference iteration (main.py:79-115) is a single XLA dispatch."""
     eot = make_eot_grad(model, sampler, plan, cfg)
+    update = perturbation_step
+    if getattr(cfg, "use_pallas_update", True):
+        # Fused single-dispatch Pallas update on TPU (falls back to the jnp
+        # path off-TPU or when operands exceed the kernel's VMEM budget).
+        from tml_image_editing_defense_tpu.ops.pgd_kernels import (
+            fused_perturbation_step,
+        )
+
+        update = fused_perturbation_step
 
     def step(params, x_adv, data: AttackData, key):
         grad, aux = eot(params, x_adv, data, key)
-        x_adv = perturbation_step(
+        x_adv = update(
             cfg.norm_type,
             x_adv=x_adv,
             grad=grad,

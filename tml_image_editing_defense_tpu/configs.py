@@ -201,7 +201,10 @@ class TrainConfig:
     eot_mode: str = "scan"
     #: Rematerialization policy for the denoising scan body:
     #: "full" (checkpoint everything), "dots" (save matmul outputs), "none".
-    remat_policy: str = "full"
+    #: "dots" measured ~17% faster than "full" on v5e at 512² (fits HBM).
+    remat_policy: str = "dots"
+    #: Use the fused Pallas perturbation-update kernels on TPU (ops/).
+    use_pallas_update: bool = True
     #: Run host visualization callbacks (device→host sync) at vis intervals.
     enable_visualization: bool = True
     #: Optional PGD-state checkpointing every N steps (0 = off).

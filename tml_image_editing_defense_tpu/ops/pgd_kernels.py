@@ -61,7 +61,9 @@ def _on_tpu() -> bool:
 
 
 def _linf_kernel(scal_ref, xadv_ref, grad_ref, src_ref, out_ref):
-    step, eps, mn, mx = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
+    dt = xadv_ref.dtype
+    step, eps, mn, mx = (scal_ref[0].astype(dt), scal_ref[1].astype(dt),
+                         scal_ref[2].astype(dt), scal_ref[3].astype(dt))
     x = xadv_ref[:] - jnp.sign(grad_ref[:]) * step
     src = src_ref[:]
     x = jnp.minimum(jnp.maximum(x, src - eps), src + eps)
@@ -87,7 +89,7 @@ def pgd_linf_update(
     a2, n = _as_2d(x_adv)
     g2, _ = _as_2d(grad)
     s2, _ = _as_2d(x_src)
-    scal = jnp.asarray([step_size, eps, min_value, max_value], dt)
+    scal = jnp.asarray([step_size, eps, min_value, max_value], jnp.float32)
     rows = a2.shape[0]
     tile = min(rows, 2048)
     grid = (-(-rows // tile),)
@@ -113,27 +115,31 @@ def pgd_linf_update(
 
 
 def _l2_kernel(scal_ref, xadv_ref, grad_ref, src_ref, out_ref):
+    # reductions + scalar math in f32: Mosaic cannot legalize scalar bf16
+    # sqrt, and f32 norms are more accurate anyway
+    dt = xadv_ref.dtype
     step, eps, mn, mx = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
-    g = grad_ref[:]
+    g = grad_ref[:].astype(jnp.float32)
     gnorm = jnp.sqrt(jnp.sum(g * g))
-    x = xadv_ref[:] - (g / (gnorm + 1e-10)) * step
-    src = src_ref[:]
+    x = xadv_ref[:].astype(jnp.float32) - (g / (gnorm + 1e-10)) * step
+    src = src_ref[:].astype(jnp.float32)
     d = x - src
     dnorm = jnp.sqrt(jnp.sum(d * d))
     factor = jnp.where(dnorm > eps, eps / (dnorm + 1e-7), 1.0)
-    out_ref[:] = jnp.clip(src + d * factor, mn, mx)
+    out_ref[:] = jnp.clip(src + d * factor, mn, mx).astype(dt)
 
 
 def _l2_masked_kernel(scal_ref, xadv_ref, grad_ref, src_ref, mask_ref, out_ref):
+    dt = xadv_ref.dtype
     step, eps, mn, mx = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
-    g = grad_ref[:]
+    g = grad_ref[:].astype(jnp.float32)
     gnorm = jnp.sqrt(jnp.sum(g * g))
-    x = xadv_ref[:] - (g / (gnorm + 1e-10)) * mask_ref[:] * step
-    src = src_ref[:]
+    x = xadv_ref[:].astype(jnp.float32) - (g / (gnorm + 1e-10)) * mask_ref[:].astype(jnp.float32) * step
+    src = src_ref[:].astype(jnp.float32)
     d = x - src
     dnorm = jnp.sqrt(jnp.sum(d * d))
     factor = jnp.where(dnorm > eps, eps / (dnorm + 1e-7), 1.0)
-    out_ref[:] = jnp.clip(src + d * factor, mn, mx)
+    out_ref[:] = jnp.clip(src + d * factor, mn, mx).astype(dt)
 
 
 def pgd_l2_update(
@@ -162,7 +168,7 @@ def pgd_l2_update(
     a2, n = _as_2d(x_adv)
     g2, _ = _as_2d(grad)
     s2, _ = _as_2d(x_src)
-    scal = jnp.asarray([step_size, eps, min_value, max_value], dt)
+    scal = jnp.asarray([step_size, eps, min_value, max_value], jnp.float32)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     if mask is not None:
         m2, _ = _as_2d(jnp.broadcast_to(mask, x_adv.shape).astype(dt))

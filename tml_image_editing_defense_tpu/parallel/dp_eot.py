@@ -25,9 +25,10 @@ except AttributeError:  # pragma: no cover
 
 from tml_image_editing_defense_tpu.attack.pgd import (
     AttackData,
-    _rep_loss_fn,
+    _rep_loss_from_dist,
     perturbation_step,
 )
+from tml_image_editing_defense_tpu.models.vae import AutoencoderKL
 from tml_image_editing_defense_tpu.configs import TrainConfig
 from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
 from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel
@@ -53,7 +54,7 @@ def make_dp_eot_pgd_step(
             f"grad_reps={cfg.grad_reps} not divisible by reps axis {n_reps_shards}"
         )
     local_reps = cfg.grad_reps // n_reps_shards
-    loss_fn = _rep_loss_fn(model, sampler, plan, cfg)
+    loss_fn = _rep_loss_from_dist(model, sampler, plan, cfg)
     grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
 
     def per_image(params, x_adv, data, img_key):
@@ -62,15 +63,24 @@ def make_dp_eot_pgd_step(
         prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
         rep_keys = jax.random.split(jax.random.fold_in(k_reps, rep_shard), local_reps)
 
-        def body(acc, k):
-            (loss, _), g = grad_fn(x_adv, params, data, prompt_idx, k)
-            return (acc[0] + g, acc[1] + loss), None
+        def encode(x):
+            return model.vae.apply(
+                {"params": params["vae"]}, x, method=AutoencoderKL.encode
+            )
 
-        (gsum, lsum), _ = jax.lax.scan(
-            body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys
+        dist, vjp_fn = jax.vjp(encode, x_adv)
+        zero = jax.tree.map(jnp.zeros_like, dist)
+
+        def body(acc, k):
+            (loss, _), g = grad_fn(dist, params, data, prompt_idx, k)
+            return (jax.tree.map(jnp.add, acc[0], g), acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys)
+        gdist = jax.lax.pmean(
+            jax.tree.map(lambda g: g / local_reps, gsum), REPS_AXIS
         )
-        grad = jax.lax.pmean(gsum / local_reps, REPS_AXIS)
         avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
+        (grad,) = vjp_fn(gdist)
         x_adv = perturbation_step(
             cfg.norm_type,
             x_adv=x_adv, grad=grad, x_src=data.source,

@@ -18,7 +18,8 @@ try:  # jax>=0.5 exposes shard_map at the top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from tml_image_editing_defense_tpu.attack.pgd import _rep_loss_fn, perturbation_step
+from tml_image_editing_defense_tpu.attack.pgd import _rep_loss_from_dist, perturbation_step
+from tml_image_editing_defense_tpu.models.vae import AutoencoderKL
 from tml_image_editing_defense_tpu.configs import TrainConfig
 from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
 from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel
@@ -43,20 +44,31 @@ def make_sharded_eot_pgd_step(
             f"grad_reps={cfg.grad_reps} not divisible by reps-axis size {n_shards}"
         )
     local_reps = cfg.grad_reps // n_shards
-    loss_fn = _rep_loss_fn(model, sampler, plan, cfg)
+    loss_fn = _rep_loss_from_dist(model, sampler, plan, cfg)
     grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
 
     def local_eot(params, x_adv, data, prompt_idx, rep_keys_local):
-        def body(acc, k):
-            (loss, aux), g = grad_fn(x_adv, params, data, prompt_idx, k)
-            del aux
-            return (acc[0] + g, acc[1] + loss), None
+        # one shared VAE-encoder forward/VJP per shard; the pmean runs on the
+        # small posterior gradients, the VJP to image space happens once
+        def encode(x):
+            return model.vae.apply(
+                {"params": params["vae"]}, x, method=AutoencoderKL.encode
+            )
 
-        (gsum, lsum), _ = jax.lax.scan(
-            body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys_local
+        dist, vjp_fn = jax.vjp(encode, x_adv)
+        zero = jax.tree.map(jnp.zeros_like, dist)
+
+        def body(acc, k):
+            (loss, aux), g = grad_fn(dist, params, data, prompt_idx, k)
+            del aux
+            return (jax.tree.map(jnp.add, acc[0], g), acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys_local)
+        gdist = jax.lax.pmean(
+            jax.tree.map(lambda g: g / local_reps, gsum), REPS_AXIS
         )
-        grad = jax.lax.pmean(gsum / local_reps, REPS_AXIS)
         avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
+        (grad,) = vjp_fn(gdist)
         return grad, avg_loss
 
     sharded = shard_map(
