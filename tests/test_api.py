@@ -169,3 +169,32 @@ def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
     assert len(results) == 1
     out = tmp_path / "sweep" / "src" / "n_noises_1" / "n_prompts_1"
     assert (out / "adversarial_image.png").exists()
+
+
+def test_immunize_sdxl_family(img_file, tmp_path):
+    """SDXL path through the full api: dual encoders, pooled embeds,
+    micro-conditioning time_ids (reference main.py:362-408)."""
+    from tml_image_editing_defense_tpu.models import build_model as _bm
+
+    sdxl = _bm("tiny-sdxl", key=jax.random.key(3))
+    cfg = _train_cfg(img_file, tmp_path / "x", use_sdxl=True, model_family="tiny-sdxl")
+    res = api.immunize(cfg, model=sdxl)
+    assert (tmp_path / "x" / "adversarial_image.png").exists()
+    assert np.isfinite(np.asarray(res.x_adv)).all()
+
+
+def test_immunize_deterministic(img_file, tmp_path, tiny_model):
+    """Same seed ⇒ bit-identical adversarial PNG (full-run reproducibility —
+    a guarantee the reference's mixed host-RNG streams cannot give)."""
+    cfg1 = _train_cfg(img_file, tmp_path / "d1", seed=123)
+    cfg2 = _train_cfg(img_file, tmp_path / "d2", seed=123)
+    r1 = api.immunize(cfg1, model=tiny_model)
+    r2 = api.immunize(cfg2, model=tiny_model)
+    np.testing.assert_array_equal(
+        np.asarray(r1.adversarial_image), np.asarray(r2.adversarial_image)
+    )
+    cfg3 = _train_cfg(img_file, tmp_path / "d3", seed=124)
+    r3 = api.immunize(cfg3, model=tiny_model)
+    assert not np.array_equal(
+        np.asarray(r1.adversarial_image), np.asarray(r3.adversarial_image)
+    )

@@ -232,7 +232,13 @@ def _rep_loss_from_dist(
             model, sampler, plan, params, z, cond, noise,
             cfg.guidance_scale, k_chain, cfg.remat_policy,
         )
-        output_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+        # decode only when a loss term needs pixels; the visualization image
+        # is reconstructed from the (small) carried latent after the rep loop
+        need_pixels = cfg.apply_loss_on_images or cfg.perturbation_loss_lambda > 0
+        output_image = (
+            model.decode_latent(params["vae"], out_latent, scaled=False)
+            if need_pixels else None
+        )
         if cfg.apply_loss_on_images:
             rec = lp_distance(output_image, data.target, 2)
         elif cfg.apply_loss_on_latents:
@@ -245,7 +251,7 @@ def _rep_loss_from_dist(
         else:
             pert = jnp.zeros((), rec.dtype)
             loss = cfg.rec_loss_lambda * rec
-        return loss, (rec, pert, output_image)
+        return loss, (rec, pert, out_latent)
 
     return loss_fn
 
@@ -288,7 +294,7 @@ def make_eot_grad(
             )(rep_keys)
             gdist = jax.tree.map(lambda g: jnp.mean(g, axis=0), gdists)
             avg_loss = jnp.mean(losses)
-            rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
+            rec, pert, out_lat = jax.tree.map(lambda a: a[-1], auxes)
         else:  # "scan" — sequential reps, lowest memory
             zero = jax.tree.map(jnp.zeros_like, dist)
 
@@ -300,9 +306,11 @@ def make_eot_grad(
             (gsum, lsum), auxes = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys)
             gdist = jax.tree.map(lambda g: g / cfg.grad_reps, gsum)
             avg_loss = lsum / cfg.grad_reps
-            rec, pert, out_img = jax.tree.map(lambda a: a[-1], auxes)
+            rec, pert, out_lat = jax.tree.map(lambda a: a[-1], auxes)
 
         (grad,) = vjp_fn(gdist)
+        # one decode of the last rep's latent for visualization (main.py:124)
+        out_img = model.decode_latent(params["vae"], out_lat, scaled=False)
 
         aux = {
             "avg_loss": avg_loss,
