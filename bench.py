@@ -14,6 +14,7 @@ All progress goes to stderr; stdout carries exactly the one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -112,7 +113,7 @@ def main() -> None:
             image_size=512,
             dtype="bfloat16",
             eot_mode="scan",
-            remat_policy="full",
+            remat_policy="dots",
             prompts=list(PROMPTS_LIST),
         )
         sampler = LCMSampler(model.schedule)
@@ -146,6 +147,39 @@ def main() -> None:
     except Exception as e:  # keep the primary metric even if this leg fails
         log(f"diffusion bench failed: {type(e).__name__}: {e}")
         extras = {"diffusion_error": f"{type(e).__name__}: {e}"}
+
+    # ---- 3. optional: SDXL diffusion PGD step (BENCH_SDXL=1) --------------
+    if os.environ.get("BENCH_SDXL"):
+        try:
+            xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
+                             image_size=512, fast_init=True)
+            cfg = TrainConfig(
+                norm_type="l2", n_denoising_steps_per_iteration=4,
+                limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
+                use_sdxl=True, image_size=512, dtype="bfloat16",
+                eot_mode="scan", remat_policy="dots", prompts=list(PROMPTS_LIST),
+            )
+            xsampler = LCMSampler(xl.schedule)
+            xplan = xsampler.plan(4, limit_t=700)
+            xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
+            xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
+            xdata = make_attack_data(xl, cfg, src.astype(dtype),
+                                     jnp.zeros_like(src, dtype), xbank, xpool)
+            xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
+            x1, _ = xstep(xl.params, src.astype(dtype), xdata, jax.random.key(9))
+            jax.block_until_ready(x1)
+            ts = []
+            x = x1
+            for i in range(3):
+                t0 = time.time()
+                x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
+                jax.block_until_ready(x)
+                ts.append(time.time() - t0)
+            extras["sdxl_pgd_s_per_step"] = round(min(ts), 4)
+            log(f"SDXL diffusion step: {min(ts):.3f}s")
+        except Exception as e:
+            log(f"SDXL bench failed: {type(e).__name__}: {e}")
+            extras["sdxl_error"] = f"{type(e).__name__}: {e}"
 
     result = {
         "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
