@@ -198,3 +198,32 @@ def test_immunize_deterministic(img_file, tmp_path, tiny_model):
     assert not np.array_equal(
         np.asarray(r1.adversarial_image), np.asarray(r3.adversarial_image)
     )
+
+
+def test_immunize_batch_data_parallel(img_file, tmp_path, tiny_model):
+    """Multi-image fused immunization over the mesh == same artifacts shape
+    as per-image runs; runs on the 8-device virtual mesh."""
+    import shutil
+
+    from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    d = img_file.parent
+    paths = [img_file]
+    for i in range(3):
+        q = d / f"copy{i}.jpg"
+        if not q.exists():
+            shutil.copy(img_file, q)
+        paths.append(q)
+    cfg = _train_cfg(img_file, tmp_path / "batch", n_optimization_steps=3)
+    mesh = make_mesh({DATA_AXIS: 4})
+    results = api.immunize_batch(cfg, paths, model=tiny_model, mesh=mesh)
+    assert len(results) == 4
+    for p, r in zip(paths, results):
+        out = tmp_path / "batch" / p.stem / "adversarial_image.png"
+        assert out.exists()
+        assert len(r.history) == 3
+        assert np.isfinite([h["avg_loss"] for h in r.history]).all()
+    # identical source images + identical per-image keys? keys differ → advs differ
+    assert not np.array_equal(
+        np.asarray(results[0].adversarial_image), np.asarray(results[1].adversarial_image)
+    )

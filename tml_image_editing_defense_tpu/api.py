@@ -195,6 +195,88 @@ def immunize(
     return ImmunizeResult(adv_pil, x_adv, pool_to_save, history, model)
 
 
+def immunize_batch(
+    cfg: TrainConfig,
+    image_paths: Sequence[Path],
+    model: Optional[DiffusionModel] = None,
+    mesh=None,
+    logger: Optional[MetricsLogger] = None,
+) -> List[ImmunizeResult]:
+    """Immunize many images as ONE fused data-parallel program.
+
+    The TPU-native replacement for the reference's hand-split two-GPU sweep
+    (``run_all.py:16-21``): every image is an independent PGD problem; the
+    batch axis is sharded over the mesh ``data`` axis (one or more images per
+    chip), and the whole N-step × B-image optimization is a single
+    ``lax.scan`` dispatch.  Visualization callbacks are off in this mode
+    (zero host round-trips); per-step loss curves are returned.
+    """
+    from tml_image_editing_defense_tpu.core.rng import KeyStream as _KS
+    from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from tml_image_editing_defense_tpu.parallel.sweep import (
+        batch_attack_data,
+        make_batched_pgd_loop,
+    )
+
+    dtype = jnp.dtype(cfg.dtype)
+    if model is None:
+        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
+                            image_size=cfg.image_size, dtype=dtype)
+    if logger is None:
+        logger = MetricsLogger(name=f"{cfg.experiment_name}_batch",
+                               config=cfg.asdict(), output_dir=cfg.output_path)
+    if mesh is None and len(jax.devices()) > 1:
+        n = len(jax.devices())
+        while len(image_paths) % n:
+            n //= 2
+        mesh = make_mesh({DATA_AXIS: max(n, 1)})
+
+    ks = _KS(cfg.seed)
+    sampler = make_sampler(
+        training_sampler_kind(model.family, cfg.use_lcm), model.schedule
+    )
+    plan = sampler.plan(
+        cfg.n_denoising_steps_per_iteration,
+        limit_t=700 if cfg.limit_timesteps else None,
+    )
+    bank = model.embed_prompt_bank([format_prompt(p) for p in cfg.prompts])
+    target = _nchw(image_ops.load_image(cfg.target_image_path, cfg.image_size)).astype(dtype)
+
+    from tml_image_editing_defense_tpu.attack import make_attack_data as _mad
+
+    datas, sources, pools = [], [], []
+    for p in image_paths:
+        source = _nchw(image_ops.load_image(p, cfg.image_size)).astype(dtype)
+        pool = make_noise_pool(ks.next(), max(cfg.n_noise, 1), model.latent_shape, dtype)
+        datas.append(_mad(model, cfg, source, target, bank, pool,
+                          target_latent_key=ks.next()))
+        sources.append(source)
+        pools.append(pool)
+    batched = batch_attack_data(datas)
+
+    loop = make_batched_pgd_loop(model, sampler, plan, cfg, batched, mesh=mesh)
+    keys = jnp.stack([ks.next() for _ in image_paths])
+    x_advs, hist = loop(model.params, jnp.stack(sources), batched, keys)
+    x_advs = jax.device_get(x_advs)
+
+    results = []
+    out_root = Path(cfg.output_path)
+    for i, p in enumerate(image_paths):
+        out_dir = out_root / Path(p).stem
+        out_dir.mkdir(parents=True, exist_ok=True)
+        adv_pil = image_ops.to_pil(np.asarray(x_advs[i]).transpose(0, 3, 1, 2))
+        adv_pil.save(out_dir / "adversarial_image.png")
+        pool = pools[i] if cfg.use_fixed_noise else None
+        if pool is not None:
+            save_noise_pool(out_dir / "noise.npz", pool)
+        losses = np.asarray(hist["avg_loss"][i])
+        logger.log({"final_avg_loss": float(losses[-1])}, step=i)
+        results.append(ImmunizeResult(adv_pil, jnp.asarray(x_advs[i]), pool,
+                                      [{"avg_loss": float(l)} for l in losses],
+                                      model))
+    return results
+
+
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------

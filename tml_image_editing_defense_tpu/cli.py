@@ -73,6 +73,14 @@ def main(argv=None) -> int:
                        help="override the EOT prompt bank")
     p_imm.add_argument("--resume-from", type=Path, default=None)
 
+    p_batch = sub.add_parser(
+        "immunize-batch",
+        help="immunize many images as one data-parallel program over the TPU mesh",
+    )
+    _add_dataclass_args(p_batch, TrainConfig)
+    p_batch.add_argument("--images", nargs="+", type=Path, required=True)
+    p_batch.add_argument("--prompts", nargs="*", default=None)
+
     p_eval = sub.add_parser("evaluate", help="clean-vs-adversarial comparison (Inference)")
     _add_dataclass_args(p_eval, InferenceConfig)
     p_eval.add_argument("--adversarial-image", type=Path, required=True)
@@ -96,6 +104,16 @@ def main(argv=None) -> int:
             cfg.prompts = list(args.prompts)
         res = api.immunize(cfg, resume_from=args.resume_from)
         print(f"adversarial image -> {Path(cfg.output_path) / 'adversarial_image.png'}")
+        return 0
+
+    if args.command == "immunize-batch":
+        from tml_image_editing_defense_tpu import api
+
+        cfg = _build_cfg(TrainConfig, args)
+        if args.prompts:
+            cfg.prompts = list(args.prompts)
+        results = api.immunize_batch(cfg, args.images)
+        print(f"{len(results)} images immunized -> {cfg.output_path}")
         return 0
 
     if args.command == "evaluate":
