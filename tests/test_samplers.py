@@ -183,3 +183,28 @@ def test_make_sampler_registry(schedule):
         assert make_sampler(kind, schedule) is not None
     with pytest.raises(ValueError):
         make_sampler("nope", schedule)
+
+
+def test_min_t_windowing_all_samplers(schedule):
+    """SDXL denoising_end ⇒ drop steps with t < min_t (sdxl_img2img_pipeline
+    .py:392-412); must hold across sampler families."""
+    from tml_image_editing_defense_tpu.core import make_sampler
+
+    for kind in ["ddim", "lcm", "plms", "euler"]:
+        s = make_sampler(kind, schedule)
+        full = s.plan(8)
+        cut = s.plan(8, min_t=500)
+        te = np.asarray(cut.t_eval)
+        assert (te >= 500).all(), (kind, te)
+        assert cut.num_steps < full.num_steps
+
+
+def test_run_context_archival(tmp_path):
+    from tml_image_editing_defense_tpu.utils.logging import MetricsLogger
+    import json as _json
+
+    lg = MetricsLogger(name="t", config={"a": 1}, output_dir=tmp_path, use_wandb=False)
+    lg.log({"x": 1.0})
+    lg.finish()
+    ctx = _json.loads((tmp_path / "run_context.json").read_text())
+    assert ctx["config"]["a"] == 1 and len(ctx["git_rev"]) >= 7

@@ -17,6 +17,13 @@ TPU-native rebuild of the reference's vendored diffusers pipelines:
 The generation core is one jitted program per (steps, strength, shape)
 bucket, cached on the pipeline object; prompts enter as precomputed
 embeddings so new prompt strings never trigger recompiles.
+
+Precision note: evaluation defaults to float32, matching the reference
+(``Trainer.load_models(dtype=torch.float32)`` for inference, main.py:446).
+Long multistep chains (PLMS-50) at high guidance can overflow in bfloat16;
+measured cost of f32 eval is ~1.1 s per 50-step 512² edit on v5e, so there
+is no reason to drop precision here (the *attack* runs bf16 fine — its
+chains are 2-4 LCM steps).
 """
 
 from __future__ import annotations

@@ -36,6 +36,21 @@ class MetricsLogger:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
             self._jsonl = open(output_dir / "metrics.jsonl", "a")
+            # run-context archival (the reference's wandb.save(__file__)
+            # self-archival, main.py:59, minus the network): config + code rev
+            try:
+                import subprocess
+
+                rev = subprocess.run(
+                    ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                    cwd=Path(__file__).resolve().parents[2],
+                ).stdout.strip()
+            except Exception:
+                rev = "unknown"
+            (output_dir / "run_context.json").write_text(
+                json.dumps({"config": config or {}, "git_rev": rev,
+                            "name": name, "t0": time.time()}, default=str, indent=1)
+            )
         self._wandb = None
         if use_wandb:
             try:
