@@ -155,3 +155,48 @@ def test_dp_eot_2d_step(tiny):
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x1b))  # deterministic
     # identical images but different keys → different prompts/noise → differ
     assert not np.allclose(np.asarray(x1[0]), np.asarray(x1[1]))
+
+
+def test_inpaint_attack(tmp_path):
+    """Legacy inpainting attack (old/yuval_playground.py): 9-channel UNet,
+    fresh-noise latents, grad through masked-image latents only."""
+    from tml_image_editing_defense_tpu.attack.inpaint import (
+        inpaint_attack_forward,
+        run_inpaint_attack,
+    )
+    from tml_image_editing_defense_tpu.attack.forward import CondInputs
+    from tml_image_editing_defense_tpu.attack import make_attack_data
+
+    model = build_model("tiny-inpaint", key=jax.random.key(0))
+    assert model.unet.config.in_channels == 9
+    cfg = TrainConfig(
+        norm_type="l2", derive_norm_hyperparams=False, eps=4.0, step_size=1.0,
+        n_optimization_steps=2, n_denoising_steps_per_iteration=3,
+        limit_timesteps=False, grad_reps=2, apply_loss_on_latents=True,
+        apply_loss_on_images=False, perturbation_loss_lambda=0.0,
+        guidance_scale=7.5, image_size=32, eot_mode="scan", remat_policy="none",
+        prompts=["a", "b"],
+    )
+    sampler = LCMSampler(model.schedule)
+    # the legacy window: 100 < t < 800 (old/yuval_playground.py:106)
+    plan = sampler.plan(4, limit_t=800, min_t=101)
+    assert (np.asarray(plan.t_eval) > 100).all() and (np.asarray(plan.t_eval) < 800).all()
+    src = jnp.clip(jax.random.normal(jax.random.key(1), (1, 32, 32, 3)) * 0.3, -1, 1)
+    bank = model.embed_prompt_bank(cfg.prompts)
+    pool = make_noise_pool(jax.random.key(2), 1, model.latent_shape)
+    data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
+
+    # forward produces a latent; gradient reaches the image
+    cond = CondInputs(ctx=jnp.stack([bank.uncond, bank.embeds[0]]))
+    def loss(img):
+        out = inpaint_attack_forward(model, sampler, plan, model.params, img,
+                                     cond, 7.5, jax.random.key(3), "none")
+        return jnp.sum(out ** 2)
+    g = jax.grad(loss)(src)
+    assert float(jnp.linalg.norm(g)) > 0 and np.isfinite(np.asarray(g)).all()
+
+    x_adv, losses = run_inpaint_attack(model, sampler, plan, cfg, data,
+                                       jax.random.key(4), iters=2)
+    d = np.asarray(x_adv - src)
+    assert np.sqrt((d**2).sum()) <= cfg.eps + 1e-4
+    assert np.isfinite(np.asarray(losses)).all()

@@ -1,0 +1,160 @@
+"""Inpainting-attack forward (legacy C17 variant, ``old/yuval_playground.py``).
+
+PhotoGuard's inpainting attack drives a 9-channel inpaint UNet: per step the
+model input is ``concat([noisy_latents, mask, masked_image_latents])`` along
+channels (``old/yuval_playground.py:92-97, 139``), with
+
+- ``latents`` initialized from *fresh* noise at ``init_noise_sigma``
+  (txt2img-style; the gradient enters only through the masked-image latents,
+  ``:90-93``),
+- an all-ones mask (full-image inpaint as the editing proxy, ``:96, 389-390``),
+- the wider timestep window ``100 < t < 800`` (``:106``),
+- output ``latents / 0.18215`` (``:160``).
+
+The PGD loops around it reuse the legacy ``super_l2``/``super_linf``
+projections with per-rep prompt sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tml_image_editing_defense_tpu.attack.forward import CondInputs, select_cond
+from tml_image_editing_defense_tpu.attack.losses import lp_distance, perturbation_loss
+from tml_image_editing_defense_tpu.attack.pgd import AttackData, perturbation_step
+from tml_image_editing_defense_tpu.configs import TrainConfig
+from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
+from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel
+
+
+def inpaint_attack_forward(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    params,
+    image: jnp.ndarray,                   # [1,H,W,3] in [-1,1]
+    cond: CondInputs,
+    guidance_scale: float,
+    key: jax.Array,
+    remat_policy: str = "full",
+    mask_latent: Optional[jnp.ndarray] = None,   # [1,h,w,1]; None ⇒ all ones
+) -> jnp.ndarray:
+    """image → unscaled output latent through the inpaint denoising chain."""
+    k_lat, k_vae, k_chain = jax.random.split(key, 3)
+    lat_shape = (1,) + model.latent_shape[1:]
+    latents = jax.random.normal(k_lat, lat_shape, image.dtype)
+    if plan.kind == "euler":
+        latents = latents * plan.init_sigma.astype(latents.dtype)
+    masked_image_latents = model.encode_image(params["vae"], image, key=k_vae)
+    if mask_latent is None:
+        mask_latent = jnp.ones(lat_shape[:-1] + (1,), image.dtype)
+    # CFG duplication of the conditioning channels (done once, :94-97)
+    mil2 = jnp.concatenate([masked_image_latents] * 2, axis=0)
+    mask2 = jnp.concatenate([mask_latent] * 2, axis=0)
+
+    step_keys = jax.random.split(k_chain, max(plan.num_steps, 1))
+
+    def body(state, xs):
+        x, carry = state
+        i, k = xs
+        latent_in = jnp.concatenate([x, x], axis=0)
+        latent_in = sampler.scale_model_input(plan, i, latent_in)
+        latent_in = jnp.concatenate([latent_in, mask2, mil2], axis=-1)  # 9ch
+        eps = model.apply_unet(
+            params["unet"], latent_in, plan.t_eval[i], cond.ctx,
+            text_embeds=cond.text_embeds, time_ids=cond.time_ids,
+        )
+        eps_u, eps_c = eps[:1], eps[1:]
+        guided = eps_u + guidance_scale * (eps_c - eps_u)
+        x, carry = sampler.step(plan, i, carry, guided, x, k)
+        return (x, carry), None
+
+    if remat_policy == "full":
+        body = jax.checkpoint(body)
+    elif remat_policy == "dots":
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+        )
+    carry0 = sampler.init_carry(latents.shape, latents.dtype)
+    (x, _), _ = jax.lax.scan(
+        body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys)
+    )
+    return x / model.vae_scaling
+
+
+def make_inpaint_eot_grad(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+) -> Callable:
+    """Legacy-style EOT over the inpaint forward (prompt per rep)."""
+
+    def rep_loss(x_adv, params, data: AttackData, prompt_idx, key):
+        cond = select_cond(
+            data.bank_embeds, data.bank_uncond, prompt_idx,
+            data.bank_pooled, data.bank_uncond_pooled, data.time_ids,
+        )
+        out_latent = inpaint_attack_forward(
+            model, sampler, plan, params, x_adv, cond,
+            cfg.guidance_scale, key, cfg.remat_policy, mask_latent=None,
+        )
+        out_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+        if cfg.apply_loss_on_images:
+            rec = lp_distance(out_image, data.target, 2)
+        else:
+            rec = lp_distance(out_latent, data.target_latent, 2)
+        loss = cfg.rec_loss_lambda * rec
+        if cfg.perturbation_loss_lambda > 0:
+            loss = loss + cfg.perturbation_loss_lambda * perturbation_loss(
+                out_image, data.source
+            )
+        return loss
+
+    grad_fn = jax.value_and_grad(rep_loss, argnums=0)
+
+    def eot(params, x_adv, data: AttackData, key):
+        rep_keys = jax.random.split(key, cfg.grad_reps)
+
+        def body(acc, k):
+            k_p, k_r = jax.random.split(k)
+            prompt_idx = jax.random.randint(k_p, (), 0, data.bank_embeds.shape[0])
+            loss, g = grad_fn(x_adv, params, data, prompt_idx, k_r)
+            return (acc[0] + g, acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys
+        )
+        return gsum / cfg.grad_reps, lsum / cfg.grad_reps
+
+    return eot
+
+
+def run_inpaint_attack(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+    data: AttackData,
+    key: jax.Array,
+    iters: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PGD against the inpainting chain (super_l2/linf projections)."""
+    eot = make_inpaint_eot_grad(model, sampler, plan, cfg)
+    n = iters or cfg.n_optimization_steps
+
+    def step(x, k):
+        grad, loss = eot(model.params, x, data, k)
+        x = perturbation_step(
+            cfg.norm_type,
+            x_adv=x, grad=grad, x_src=data.source,
+            step_size=cfg.step_size, eps=cfg.eps,
+            min_value=cfg.min_value, max_value=cfg.max_value, mask=None,
+        )
+        return x, loss
+
+    keys = jax.random.split(key, n)
+    return jax.jit(lambda x0: jax.lax.scan(step, x0, keys))(data.source)

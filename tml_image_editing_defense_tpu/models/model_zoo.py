@@ -33,8 +33,10 @@ from tml_image_editing_defense_tpu.models.clip_text import (
 )
 from tml_image_editing_defense_tpu.models.tokenizer import HashTokenizer, load_tokenizer
 from tml_image_editing_defense_tpu.models.unet import (
+    SD15_INPAINT_UNET,
     SD15_UNET,
     SDXL_UNET,
+    TINY_INPAINT_UNET,
     TINY_SDXL_UNET,
     TINY_UNET,
     UNet2DCondition,
@@ -157,8 +159,10 @@ class DiffusionModel:
 _FAMILIES = {
     # family: (unet_cfg, vae_cfg, text_cfgs, image_size)
     "sd15": (SD15_UNET, SD_VAE, (SD15_TEXT,), 512),
+    "sd15-inpaint": (SD15_INPAINT_UNET, SD_VAE, (SD15_TEXT,), 512),
     "sdxl": (SDXL_UNET, SDXL_VAE, (SDXL_TEXT_1, SDXL_TEXT_2), 1024),
     "tiny": (TINY_UNET, TINY_VAE, (TINY_TEXT,), 32),
+    "tiny-inpaint": (TINY_INPAINT_UNET, TINY_VAE, (TINY_TEXT,), 32),
     "tiny-sdxl": (TINY_SDXL_UNET, TINY_VAE, (TINY_TEXT, TINY_TEXT), 32),
 }
 
@@ -214,9 +218,12 @@ def build_model(
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
     unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
     image_size = image_size or native
-    base_family = "sdxl" if family.endswith("sdxl") else ("sd15" if family == "sd15" else "tiny")
-    if family == "tiny-sdxl":
+    if family.endswith("sdxl"):
         base_family = "sdxl"
+    elif family.startswith("sd15"):
+        base_family = "sd15"
+    else:
+        base_family = "tiny"
 
     vae_dtype = dtype if vae_dtype is None else vae_dtype
     unet = UNet2DCondition(unet_cfg, dtype=dtype)

@@ -58,6 +58,11 @@ class UNetConfig:
 
 SD15_UNET = UNetConfig()
 
+#: SD-1.5 inpainting UNet: 9 input channels — noisy latents(4) + mask(1) +
+#: masked-image latents(4) (runwayml/stable-diffusion-inpainting layout;
+#: consumed by the legacy inpaint attack, old/yuval_playground.py:139).
+SD15_INPAINT_UNET = UNetConfig(in_channels=9)
+
 SDXL_UNET = UNetConfig(
     sample_size=128,
     block_out_channels=(320, 640, 1280),
@@ -74,6 +79,18 @@ SDXL_UNET = UNetConfig(
 #: Tiny preset for tests: runs the full code path in milliseconds on CPU.
 TINY_UNET = UNetConfig(
     sample_size=8,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_blocks=(True, False),
+    transformer_layers_per_block=(1, 0),
+    num_attention_heads=(2, 2),
+    cross_attention_dim=32,
+)
+
+#: Tiny 9-channel inpaint preset.
+TINY_INPAINT_UNET = UNetConfig(
+    sample_size=8,
+    in_channels=9,
     block_out_channels=(32, 64),
     layers_per_block=1,
     cross_attention_blocks=(True, False),
