@@ -9,7 +9,11 @@ Run full SD-1.5: python examples/end_to_end.py --source path/to/img.jpg
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
+
+# allow running the script straight from a checkout without installation
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from PIL import Image
 
