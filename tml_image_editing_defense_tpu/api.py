@@ -344,15 +344,19 @@ def evaluate(
 
     def edit_pair(clean_img, adv_img, prompt: str, noise):
         """One clean edit (fresh noise) + one adversarial edit (pinned noise),
-        reference main.py:483-500."""
-        out_clean = pipeline(
-            prompt=prompt, image=clean_img, num_inference_steps=cfg.n_steps,
-            guidance_scale=cfg.guidance_scale, strength=cfg.strength, key=ks.next(),
-        )
-        out_adv = pipeline(
-            prompt=prompt, image=adv_img, num_inference_steps=cfg.n_steps,
-            guidance_scale=cfg.guidance_scale, strength=cfg.strength,
-            noise=noise, key=ks.next(),
+        reference main.py:483-500 — batched into a single dispatch (the
+        reference runs two sequential pipeline calls)."""
+        fresh = jax.random.normal(ks.next(), lat_shape, dtype)
+        pinned = jnp.asarray(noise, dtype)
+        if pinned.ndim == 3:
+            pinned = pinned[None]
+        if pinned.shape[-1] != lat_shape[-1]:
+            pinned = jnp.transpose(pinned, (0, 2, 3, 1))
+        out_clean, out_adv = pipeline(
+            prompt=prompt, image=[clean_img, adv_img],
+            num_inference_steps=cfg.n_steps, guidance_scale=cfg.guidance_scale,
+            strength=cfg.strength, noise=jnp.concatenate([fresh, pinned]),
+            key=ks.next(),
         )
         return out_clean, out_adv
 

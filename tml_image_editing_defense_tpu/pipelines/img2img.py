@@ -100,6 +100,8 @@ class Img2ImgPipeline:
     # -- host orchestration ------------------------------------------------
 
     def _prepare_image(self, image) -> jnp.ndarray:
+        if isinstance(image, (list, tuple)):
+            return jnp.concatenate([self._prepare_image(im) for im in image], axis=0)
         if isinstance(image, Image.Image):
             arr = image_ops.preprocess_pil(image, self.model.image_size)
             return jnp.asarray(arr.transpose(0, 2, 3, 1), self.dtype)  # NCHW→NHWC
@@ -154,25 +156,40 @@ class Img2ImgPipeline:
             (num_inference_steps, float(strength), denoising_start, denoising_end,
              from_latents)
         )
-        lat_shape = (1,) + self.model.latent_shape[1:]
         if from_latents:
             img = jnp.asarray(latents, self.dtype)
-            if img.shape != lat_shape and img.ndim == 4:
+            if img.ndim == 4 and img.shape[-1] != self.model.latent_shape[-1]:
                 img = jnp.transpose(img, (0, 2, 3, 1))
-            noise = jnp.zeros(lat_shape, self.dtype)
+            b = img.shape[0]
+            noise = jnp.zeros((b,) + self.model.latent_shape[1:], self.dtype)
         else:
-            img = self._prepare_image(image)
+            img = self._prepare_image(image)   # [B,H,W,3]; lists/batches allowed
+            b = img.shape[0]
+            lat_shape = (b,) + self.model.latent_shape[1:]
             if noise is None:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, lat_shape, self.dtype)
             else:
                 noise = jnp.asarray(noise, self.dtype)
-                if noise.shape != lat_shape and noise.ndim == 4:
+                if noise.ndim == 3:
+                    noise = noise[None]
+                if noise.shape[-1] != lat_shape[-1] and noise.ndim == 4:
                     noise = jnp.transpose(noise, (0, 2, 3, 1))   # NCHW → NHWC
+                if noise.shape[0] != b:
+                    noise = jnp.broadcast_to(noise, lat_shape)
+        if b > 1:  # CFG blocks: [uncond×B ; cond×B]
+            ctx = jnp.repeat(ctx, b, axis=0)
+            te = None if te is None else jnp.repeat(te, b, axis=0)
+            tids = None if tids is None else jnp.repeat(tids, b, axis=0)
         out = generate(self.model.params, img, ctx, te, tids, noise, key,
                        jnp.asarray(guidance_scale, self.dtype))
         if output_type == "pil":
-            return image_ops.to_pil(np.asarray(out).transpose(0, 3, 1, 2), denormalize=False)
+            outs = [
+                image_ops.to_pil(np.asarray(out[i: i + 1]).transpose(0, 3, 1, 2),
+                                 denormalize=False)
+                for i in range(b)
+            ]
+            return outs[0] if b == 1 else outs
         return out
 
 
