@@ -201,6 +201,7 @@ def immunize_batch(
     model: Optional[DiffusionModel] = None,
     mesh=None,
     logger: Optional[MetricsLogger] = None,
+    targets: Optional[Sequence[Path]] = None,
 ) -> List[ImmunizeResult]:
     """Immunize many images as ONE fused data-parallel program.
 
@@ -240,13 +241,17 @@ def immunize_batch(
         limit_t=700 if cfg.limit_timesteps else None,
     )
     bank = model.embed_prompt_bank([format_prompt(p) for p in cfg.prompts])
-    target = _nchw(image_ops.load_image(cfg.target_image_path, cfg.image_size)).astype(dtype)
+    # per-image targets; default = the image itself (sweep semantics,
+    # run_all.py:45-46 passes target_image_path=image_path)
+    if targets is None:
+        targets = list(image_paths)
 
     from tml_image_editing_defense_tpu.attack import make_attack_data as _mad
 
     datas, sources, pools = [], [], []
-    for p in image_paths:
+    for p, tp in zip(image_paths, targets):
         source = _nchw(image_ops.load_image(p, cfg.image_size)).astype(dtype)
+        target = _nchw(image_ops.load_image(tp, cfg.image_size)).astype(dtype)
         pool = make_noise_pool(ks.next(), max(cfg.n_noise, 1), model.latent_shape, dtype)
         datas.append(_mad(model, cfg, source, target, bank, pool,
                           target_latent_key=ks.next()))
