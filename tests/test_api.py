@@ -124,6 +124,40 @@ def test_checkpoint_resume(img_file, tmp_path, tiny_model):
     assert res2.adversarial_image.size == (32, 32)
 
 
+def test_resume_continues_rng_stream(img_file, tmp_path, tiny_model):
+    """A run resumed from a mid-run checkpoint must be bit-identical to an
+    uninterrupted run: per-iteration keys are positional (fold_in), so the
+    resumed loop picks up the exact stream where the checkpoint left off."""
+    import numpy as np
+    from tml_image_editing_defense_tpu.attack import make_attack_data
+    from tml_image_editing_defense_tpu.attack.pgd import run_pgd
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.api import training_sampler_kind
+    from tml_image_editing_defense_tpu.core.samplers import make_sampler
+
+    cfg = _train_cfg(img_file, tmp_path / "r", n_optimization_steps=4,
+                     enable_visualization=False)
+    model = tiny_model
+    src = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    bank = model.embed_prompt_bank(list(cfg.prompts))
+    pool = make_noise_pool(jax.random.key(5), max(cfg.n_noise, 1), model.latent_shape)
+    data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
+    sampler = make_sampler(training_sampler_kind(model.family, cfg.use_lcm), model.schedule)
+    plan = sampler.plan(cfg.n_denoising_steps_per_iteration,
+                        limit_t=700 if cfg.limit_timesteps else None)
+    key = jax.random.key(11)
+
+    full, _ = run_pgd(model, sampler, plan, cfg, data, key)
+    # simulate an interruption after 2 iterations, then resume with the SAME
+    # original key + start_iteration (what attack_state.npz persists)
+    import dataclasses as _dc
+    cfg2 = _dc.replace(cfg, n_optimization_steps=2)
+    x_mid, _ = run_pgd(model, sampler, plan, cfg2, data, key)
+    resumed, _ = run_pgd(model, sampler, plan, cfg, data, key,
+                         x_init=x_mid, start_iteration=2)
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+
 def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
     from tml_image_editing_defense_tpu.configs import SweepConfig
 

@@ -382,7 +382,10 @@ def make_pgd_loop(
     step = make_pgd_step(model, sampler, plan, cfg)
 
     def loop(params, x_adv, data: AttackData, key):
-        keys = jax.random.split(key, n)
+        # Positional per-iteration keys (fold_in by iteration index) — the
+        # same stream run_pgd consumes, so fused and host-driven loops are
+        # interchangeable and checkpoint-resume continues the stream exactly.
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
 
         def body(x, k):
             x, aux = step(params, x, data, k)
@@ -413,6 +416,11 @@ def run_pgd(
     ``stop_flag``: truthy-checkable object (see utils/preemption.py) polled
     between steps; on preemption the loop returns early with the current
     iterate.
+
+    Per-iteration keys are derived positionally (``fold_in(key, it)``), so a
+    run resumed at iteration k from a checkpoint continues the *same* RNG
+    stream an uninterrupted run would have consumed — no repeated EOT
+    samples (sequential split-and-advance replayed the stream from 0).
     """
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
     x_adv = data.source if x_init is None else x_init
@@ -422,7 +430,7 @@ def run_pgd(
         if stop_flag:
             history.append({"preempted_at": it})
             break
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(key, it)
         x_adv, aux = step(model.params, x_adv, data, sub)
         if vis_callback is not None and (
             it % cfg.image_visualization_interval == 0 or it == n - 1
