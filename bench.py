@@ -144,6 +144,41 @@ def main() -> None:
         }
         log(f"diffusion attack: {diff_s_per_step:.3f} s/PGD-step "
             f"({1/diff_s_per_step:.2f} steps/s; 10 reps × 2 LCM steps × CFG)")
+
+        # Analytic MFU: useful model FLOPs (fwd + 2×fwd for bwd, remat
+        # recompute NOT counted) / wall-clock / peak chip bf16 FLOPs.
+        from tml_image_editing_defense_tpu.utils import flops as F
+
+        lat = jnp.zeros((2,) + model.latent_shape[1:], dtype)
+        ctx2 = jnp.zeros((2, data.bank_embeds.shape[1], data.bank_embeds.shape[2]), dtype)
+        unet1 = F.count_fn_flops(
+            lambda p, l, t, c: model.apply_unet(p["unet"], l, t, c),
+            model.params, lat, jnp.asarray(519, jnp.int32), ctx2,
+        )
+        enc = F.count_fn_flops(
+            lambda p, im: model.encode_image(p["vae"], im), model.params,
+            src.astype(dtype),
+        )
+        dec = F.count_fn_flops(
+            lambda p, z: model.decode_latent(p["vae"], z, scaled=False),
+            model.params, jnp.zeros(model.latent_shape, dtype),
+        )
+        step_flops = F.pgd_step_model_flops(
+            plan.num_steps * unet1, enc, dec, cfg.grad_reps,
+            image_loss=cfg.apply_loss_on_images,
+        )
+        extras["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
+        diff_mfu = F.mfu(step_flops, diff_s_per_step)
+        if diff_mfu is not None:
+            extras["mfu"] = round(diff_mfu, 4)
+            log(f"diffusion MFU: {diff_mfu:.1%} "
+                f"({step_flops/1e12:.1f} model TFLOPs / step)")
+        # encoder attack MFU: per PGD step = encode fwd+bwd at batch 8
+        enc_step_flops = F.training_flops(8 * enc)
+        enc_mfu = F.mfu(enc_step_flops * n_enc_steps, enc_s_per_image * 8)
+        if enc_mfu is not None:
+            extras["encoder_mfu"] = round(enc_mfu, 4)
+            log(f"encoder-attack MFU: {enc_mfu:.1%}")
     except Exception as e:  # keep the primary metric even if this leg fails
         log(f"diffusion bench failed: {type(e).__name__}: {e}")
         extras = {"diffusion_error": f"{type(e).__name__}: {e}"}

@@ -205,6 +205,64 @@ def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
     assert (out / "adversarial_image.png").exists()
 
 
+def test_sweep_data_parallel_matches_serial(tmp_path, tiny_model, monkeypatch):
+    """A 4-image sweep fused through immunize_batch over the 8-device mesh
+    must produce the exact artifacts of the serial per-cell path (VERDICT
+    round-1 item 2; replaces the reference's manual 2-GPU split,
+    run_all.py:16-21), with the batch axis actually sharded."""
+    from tml_image_editing_defense_tpu.configs import SweepConfig
+    import tml_image_editing_defense_tpu.api as api_mod
+
+    imgs_dir = tmp_path / "imgs"
+    imgs_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        arr = rng.uniform(0, 255, (40, 40, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(imgs_dir / f"im{i}.png")
+
+    overrides = dict(
+        image_size=32, n_denoising_steps_per_iteration=2, limit_timesteps=False,
+        derive_norm_hyperparams=False, grad_reps=2, apply_loss_on_latents=True,
+        apply_loss_on_images=False, perturbation_loss_lambda=0.0,
+        enable_visualization=False, eps=0.1, step_size=0.02, norm_type="linf",
+        remat_policy="none",
+    )
+
+    def _cfg(root):
+        return SweepConfig(
+            images_dir=imgs_dir, output_root=root, n_prompts_grid=(1,),
+            n_noises_grid=(1,), n_optimization_steps=2, use_lcm=True, seed=3,
+        )
+
+    # evaluation is exercised elsewhere; this test compares training artifacts
+    monkeypatch.setattr(api_mod, "evaluate", lambda *a, **k: [])
+
+    api_mod.sweep(_cfg(tmp_path / "serial"), model=tiny_model,
+                  data_parallel=False, train_overrides=overrides)
+
+    debug = {}
+    orig_batch = api_mod.immunize_batch
+
+    def spy_batch(*a, **kw):
+        kw["debug_out"] = debug
+        return orig_batch(*a, **kw)
+
+    monkeypatch.setattr(api_mod, "immunize_batch", spy_batch)
+    api_mod.sweep(_cfg(tmp_path / "par"), model=tiny_model,
+                  data_parallel=True, train_overrides=overrides)
+
+    assert debug, "data-parallel sweep did not route through immunize_batch"
+    assert len(debug["sharding"].device_set) >= 4   # image axis sharded
+    for i in range(4):
+        cell = f"im{i}/n_noises_1/n_prompts_1"
+        a = np.asarray(Image.open(tmp_path / "serial" / cell / "adversarial_image.png"))
+        b = np.asarray(Image.open(tmp_path / "par" / cell / "adversarial_image.png"))
+        np.testing.assert_array_equal(a, b)
+        pa = load_noise_pool(tmp_path / "serial" / cell / "noise.npz")
+        pb = load_noise_pool(tmp_path / "par" / cell / "noise.npz")
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_immunize_sdxl_family(img_file, tmp_path):
     """SDXL path through the full api: dual encoders, pooled embeds,
     micro-conditioning time_ids (reference main.py:362-408)."""

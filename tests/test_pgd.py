@@ -183,6 +183,29 @@ def test_pgd_vmap_and_scan_agree(tiny_setup):
     np.testing.assert_allclose(float(a1["avg_loss"]), float(a2["avg_loss"]), rtol=2e-4)
 
 
+def test_pgd_eot_chunked_matches_sequential(tiny_setup):
+    """eot_chunk>1 (vmapped rep chunks inside the scan) must reproduce the
+    sequential per-rep mean gradient — same keys, same EOT distribution, only
+    the conv batch size changes."""
+    import dataclasses
+
+    model, cfg, sampler, plan, data, source = tiny_setup
+    cfg4 = dataclasses.replace(cfg, grad_reps=4)
+    s_seq = jax.jit(make_pgd_step(model, sampler, plan, cfg4))
+    s_chk = jax.jit(make_pgd_step(
+        model, sampler, plan, dataclasses.replace(cfg4, eot_chunk=2)))
+    k = jax.random.key(21)
+    x1, a1 = s_seq(model.params, source, data, k)
+    x2, a2 = s_chk(model.params, source, data, k)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(float(a1["avg_loss"]), float(a2["avg_loss"]), rtol=2e-4)
+
+    with pytest.raises(ValueError):
+        make_pgd_step(model, sampler, plan,
+                      dataclasses.replace(cfg4, eot_chunk=3))(
+            model.params, source, data, k)
+
+
 def test_pgd_loop_scan_matches_python_loop(tiny_setup):
     model, cfg, sampler, plan, data, source = tiny_setup
     loop = jax.jit(make_pgd_loop(model, sampler, plan, cfg, n_steps=3))

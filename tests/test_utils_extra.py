@@ -100,3 +100,35 @@ def test_vis_grid_shapes():
 def test_memory_stats_dict():
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_flops_counting_closed_form():
+    """Analytic FLOPs = 2·out·reduction for conv/dot; scan multiplies by
+    trip count (utils/flops.py — backs the bench MFU key)."""
+    import jax
+    import jax.numpy as jnp
+    from tml_image_editing_defense_tpu.utils import flops as F
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    got = F.count_fn_flops(conv, jnp.zeros((2, 32, 32, 8)), jnp.zeros((3, 3, 8, 16)))
+    assert got == 2 * 2 * 32 * 32 * 16 * 3 * 3 * 8
+
+    def dense(a, b):
+        return jnp.einsum("btd,df->btf", a, b)
+
+    got = F.count_fn_flops(dense, jnp.zeros((4, 10, 32)), jnp.zeros((32, 64)))
+    assert got == 2 * 4 * 10 * 32 * 64
+
+    def scanned(x):
+        def body(c, _):
+            return jnp.dot(c, jnp.ones((16, 16))), None
+        y, _ = jax.lax.scan(body, x, None, length=5)
+        return y
+
+    assert F.count_fn_flops(scanned, jnp.zeros((16, 16))) == 5 * 2 * 16**3
+
+    assert F.training_flops(10) == 30
+    assert F.mfu(1e12, 1.0) is None or F.mfu(1e12, 1.0) <= 1.0  # CPU → None

@@ -126,9 +126,16 @@ def immunize(
 
     # cfg.eta is consumed only by samplers whose step takes it (main.py:219-220);
     # PLMS/LCM/Euler — the live training schedulers — do not.
-    sampler = make_sampler(
-        training_sampler_kind(model.family, cfg.use_lcm), model.schedule
-    )
+    kind = training_sampler_kind(model.family, cfg.use_lcm)
+    if cfg.eta and kind != "ddim":
+        import warnings
+
+        warnings.warn(
+            f"cfg.eta={cfg.eta} has no effect with the {kind!r} sampler "
+            "(only DDIM consumes eta — same as the reference's LCM/PNDM)",
+            stacklevel=2,
+        )
+    sampler = make_sampler(kind, model.schedule)
     plan = sampler.plan(
         cfg.n_denoising_steps_per_iteration,
         limit_t=700 if cfg.limit_timesteps else None,
@@ -202,6 +209,9 @@ def immunize_batch(
     mesh=None,
     logger: Optional[MetricsLogger] = None,
     targets: Optional[Sequence[Path]] = None,
+    seeds: Optional[Sequence[int]] = None,
+    out_dirs: Optional[Sequence[Path]] = None,
+    debug_out: Optional[dict] = None,
 ) -> List[ImmunizeResult]:
     """Immunize many images as ONE fused data-parallel program.
 
@@ -211,6 +221,14 @@ def immunize_batch(
     chip), and the whole N-step × B-image optimization is a single
     ``lax.scan`` dispatch.  Visualization callbacks are off in this mode
     (zero host round-trips); per-step loss curves are returned.
+
+    ``seeds``: per-image seeds replaying :func:`immunize`'s exact KeyStream
+    order (noise pool → target latent → loop key), so each batched image is
+    bit-identical to a serial ``immunize`` run with that seed — this is what
+    lets :func:`sweep` fuse cells without changing results.
+    ``out_dirs``: per-image artifact directories (default
+    ``cfg.output_path/<stem>``).  ``debug_out``: if given, filled with the
+    mesh and the on-device output sharding for introspection/tests.
     """
     from tml_image_editing_defense_tpu.core.rng import KeyStream as _KS
     from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -226,11 +244,16 @@ def immunize_batch(
     if logger is None:
         logger = MetricsLogger(name=f"{cfg.experiment_name}_batch",
                                config=cfg.asdict(), output_dir=cfg.output_path)
-    if mesh is None and len(jax.devices()) > 1:
-        n = len(jax.devices())
+    # Auto-mesh over LOCAL devices: in the multi-host sweep tier the image
+    # list is host-sharded (scripts/launch_tpu_pod.sh), so each process runs
+    # its own local-mesh program — no tensor traffic crosses DCN.
+    local = jax.local_devices()
+    if mesh is None and len(local) > 1:
+        n = len(local)
         while len(image_paths) % n:
             n //= 2
-        mesh = make_mesh({DATA_AXIS: max(n, 1)})
+        if n > 1:
+            mesh = make_mesh({DATA_AXIS: n}, devices=local)
 
     ks = _KS(cfg.seed)
     sampler = make_sampler(
@@ -248,26 +271,38 @@ def immunize_batch(
 
     from tml_image_editing_defense_tpu.attack import make_attack_data as _mad
 
-    datas, sources, pools = [], [], []
-    for p, tp in zip(image_paths, targets):
+    per_image_ks = None
+    if seeds is not None:
+        per_image_ks = [_KS(s) for s in seeds]
+
+    datas, sources, pools, loop_keys = [], [], [], []
+    for i, (p, tp) in enumerate(zip(image_paths, targets)):
+        iks = per_image_ks[i] if per_image_ks is not None else ks
         source = _nchw(image_ops.load_image(p, cfg.image_size)).astype(dtype)
         target = _nchw(image_ops.load_image(tp, cfg.image_size)).astype(dtype)
-        pool = make_noise_pool(ks.next(), max(cfg.n_noise, 1), model.latent_shape, dtype)
+        pool = make_noise_pool(iks.next(), max(cfg.n_noise, 1), model.latent_shape, dtype)
         datas.append(_mad(model, cfg, source, target, bank, pool,
-                          target_latent_key=ks.next()))
+                          target_latent_key=iks.next()))
         sources.append(source)
         pools.append(pool)
+        if per_image_ks is not None:
+            loop_keys.append(iks.next())
     batched = batch_attack_data(datas)
 
     loop = make_batched_pgd_loop(model, sampler, plan, cfg, batched, mesh=mesh)
-    keys = jnp.stack([ks.next() for _ in image_paths])
+    if per_image_ks is None:
+        loop_keys = [ks.next() for _ in image_paths]
+    keys = jnp.stack(loop_keys)
     x_advs, hist = loop(model.params, jnp.stack(sources), batched, keys)
+    if debug_out is not None:
+        debug_out["mesh"] = mesh
+        debug_out["sharding"] = x_advs.sharding
     x_advs = jax.device_get(x_advs)
 
     results = []
     out_root = Path(cfg.output_path)
     for i, p in enumerate(image_paths):
-        out_dir = out_root / Path(p).stem
+        out_dir = Path(out_dirs[i]) if out_dirs is not None else out_root / Path(p).stem
         out_dir.mkdir(parents=True, exist_ok=True)
         adv_pil = image_ops.to_pil(np.asarray(x_advs[i]).transpose(0, 3, 1, 2))
         adv_pil.save(out_dir / "adversarial_image.png")
@@ -422,24 +457,17 @@ def evaluate(
 # ---------------------------------------------------------------------------
 
 
-def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
-          image_paths: Optional[Sequence[Path]] = None) -> List[dict]:
-    """Grid sweep {images} × {n_prompts} × {n_noises} (run_all.py:23-93).
+def _sweep_cells(cfg: SweepConfig, image_paths: Sequence[Path],
+                 train_overrides: Optional[dict] = None) -> List[dict]:
+    """Enumerate the sweep grid (run_all.py:23-55) into cell descriptors.
 
-    One model is built once and shared across every cell (the reference
-    reloads the full pipeline per cell).  For multi-chip data parallelism
-    over images see :mod:`~tml_image_editing_defense_tpu.parallel.sweep`.
-    """
-    if image_paths is None:
-        image_paths = sorted(
-            p for p in Path(cfg.images_dir).glob("*") if p.suffix in (".jpg", ".png", ".jpeg")
-        )
-    results = []
+    Prompt sampling order matches the reference: prompts are drawn per
+    (image, n_prompts) pair in image-major order (run_all.py:28-33)."""
     rng = _pyrandom.Random()
+    cells = []
     for image_path in image_paths:
         image_out = Path(cfg.output_root) / image_path.stem
         for n_prompts in cfg.n_prompts_grid:
-            # prompt sampling parity with run_all.py:28-33
             if n_prompts is None:
                 prompts = list(PROMPTS_LIST)
             elif n_prompts == 1:
@@ -448,7 +476,6 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
                 prompts = [""] + rng.sample(PROMPTS_LIST, n_prompts - 1)
             for n_noises in cfg.n_noises_grid:
                 cell_dir = image_out / f"n_noises_{n_noises}" / f"n_prompts_{n_prompts}"
-                cell_dir.mkdir(parents=True, exist_ok=True)
                 seed = cfg.seed if cfg.seed is not None else rng.randint(0, 2**32 - 1)
                 train_cfg = TrainConfig(
                     experiment_name=f"{image_path.stem}_n_noises_{n_noises}_n_prompts_{n_prompts}",
@@ -464,29 +491,101 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
                     use_sdxl=cfg.use_sdxl,
                     use_lcm=cfg.use_lcm,
                 )
-                res = immunize(train_cfg, model=model)
-                model = res.model      # reuse across cells
-                # artifact round-trip (run_all.py:62-66)
-                adv = Image.open(cell_dir / "adversarial_image.png").convert("RGB")
-                pool = load_noise_pool(cell_dir / "noise.npz") if res.noise_pool is not None else None
-                inf_cfg = InferenceConfig(
-                    experiment_name=train_cfg.experiment_name,
-                    source_image_path=image_path,
-                    target_image_path=image_path,
-                    output_path=cell_dir,
-                    n_steps=cfg.inference_n_steps,
-                    guidance_scale=cfg.inference_guidance_scale,
-                    strength=cfg.inference_strength,
-                    use_fixed_noise=n_noises is not None,
-                    n_noise=n_noises if n_noises is not None else 1,
-                    validation_images_path=None,
-                    use_sdxl=cfg.use_sdxl,
-                    use_lcm=cfg.use_lcm,
-                    seed=seed,
+                if train_overrides:
+                    train_cfg = dataclasses.replace(train_cfg, **train_overrides)
+                cells.append({
+                    "image": image_path, "n_prompts": n_prompts, "prompts": prompts,
+                    "n_noises": n_noises, "seed": seed, "dir": cell_dir,
+                    "train_cfg": train_cfg,
+                })
+    return cells
+
+
+def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
+          image_paths: Optional[Sequence[Path]] = None,
+          data_parallel: Optional[bool] = None,
+          train_overrides: Optional[dict] = None) -> List[dict]:
+    """Grid sweep {images} × {n_prompts} × {n_noises} (run_all.py:23-93).
+
+    One model is built once and shared across every cell (the reference
+    reloads the full pipeline per cell).
+
+    Multi-chip: with >1 device (or ``data_parallel=True``), cells that share
+    a prompt bank and noise-pool size — i.e. the same grid point across
+    different images — are fused into ONE data-parallel program via
+    :func:`immunize_batch`, the image axis sharded over the mesh ``data``
+    axis.  Per-cell seeds replay :func:`immunize`'s key stream, so artifacts
+    are identical to the serial path.  This replaces the reference's manual
+    two-GPU split (run_all.py:16-21) with real ICI data parallelism.
+    """
+    if image_paths is None:
+        image_paths = sorted(
+            p for p in Path(cfg.images_dir).glob("*") if p.suffix in (".jpg", ".png", ".jpeg")
+        )
+    cells = _sweep_cells(cfg, image_paths, train_overrides)
+    for cell in cells:
+        cell["dir"].mkdir(parents=True, exist_ok=True)
+
+    if data_parallel is None:
+        data_parallel = len(jax.local_devices()) > 1
+
+    if data_parallel:
+        # Group fusable cells: same prompt bank + same noise-pool shape
+        # (different images).  Groups keep first-appearance order.
+        groups: dict = {}
+        for cell in cells:
+            k = (tuple(cell["prompts"]), cell["n_noises"])
+            groups.setdefault(k, []).append(cell)
+        for group in groups.values():
+            if len(group) == 1:
+                cell = group[0]
+                res = immunize(cell["train_cfg"], model=model)
+                model = res.model
+                continue
+            batch_cfg = group[0]["train_cfg"]
+            if model is None:
+                model = build_model(
+                    _default_family(batch_cfg), key=jax.random.key(batch_cfg.seed),
+                    image_size=batch_cfg.image_size, dtype=jnp.dtype(batch_cfg.dtype),
                 )
-                evaluate(inf_cfg, adv, INFERENCE_PROMPTS, model=model, noises=pool,
-                         training_prompts=prompts)
-                results.append({"image": str(image_path), "n_prompts": n_prompts,
-                                "n_noises": n_noises, "seed": seed,
-                                "output": str(cell_dir)})
+            immunize_batch(
+                batch_cfg,
+                image_paths=[c["image"] for c in group],
+                model=model,
+                seeds=[c["seed"] for c in group],
+                out_dirs=[c["dir"] for c in group],
+            )
+    else:
+        for cell in cells:
+            res = immunize(cell["train_cfg"], model=model)
+            model = res.model      # reuse across cells
+
+    # Evaluation per cell (artifact round-trip, run_all.py:62-66)
+    results = []
+    for cell in cells:
+        cell_dir, image_path = cell["dir"], cell["image"]
+        n_noises, seed = cell["n_noises"], cell["seed"]
+        adv = Image.open(cell_dir / "adversarial_image.png").convert("RGB")
+        noise_file = cell_dir / "noise.npz"
+        pool = load_noise_pool(noise_file) if noise_file.exists() else None
+        inf_cfg = InferenceConfig(
+            experiment_name=cell["train_cfg"].experiment_name,
+            source_image_path=image_path,
+            target_image_path=image_path,
+            output_path=cell_dir,
+            n_steps=cfg.inference_n_steps,
+            guidance_scale=cfg.inference_guidance_scale,
+            strength=cfg.inference_strength,
+            use_fixed_noise=n_noises is not None,
+            n_noise=n_noises if n_noises is not None else 1,
+            validation_images_path=None,
+            use_sdxl=cfg.use_sdxl,
+            use_lcm=cfg.use_lcm,
+            seed=seed,
+        )
+        evaluate(inf_cfg, adv, INFERENCE_PROMPTS, model=model, noises=pool,
+                 training_prompts=cell["prompts"])
+        results.append({"image": str(image_path), "n_prompts": cell["n_prompts"],
+                        "n_noises": n_noises, "seed": seed,
+                        "output": str(cell_dir)})
     return results

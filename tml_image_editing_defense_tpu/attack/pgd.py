@@ -80,25 +80,25 @@ def linf_perturbation_step(
     eps: float,
     min_value: float,
     max_value: float,
-    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """L∞ PGD: sign step + box projection + clamp (main.py:270-274).
 
-    The reference applies the segmentation mask only on the L2 branch; we
-    accept it here too for completeness (None preserves reference behavior).
+    The segmentation mask deliberately does NOT apply here: the reference
+    masks only the L2 branch (main.py:260-261); the L∞ branch ignores it
+    (main.py:270-274).  Both the jnp and Pallas dispatchers enforce this, so
+    TPU and CPU results are identical for every config.
     """
-    step = jnp.sign(grad) * step_size
-    if mask is not None:
-        step = step * mask
-    x_adv = x_adv - step
+    x_adv = x_adv - jnp.sign(grad) * step_size
     x_adv = jnp.minimum(jnp.maximum(x_adv, x_src - eps), x_src + eps)
     return jnp.clip(x_adv, min_value, max_value)
 
 
 def perturbation_step(norm_type: str, **kw) -> jnp.ndarray:
+    """Dispatcher with reference mask semantics: mask on L2 only."""
     if norm_type == "l2":
         return l2_perturbation_step(**kw)
     if norm_type == "linf":
+        kw.pop("mask", None)
         return linf_perturbation_step(**kw)
     raise ValueError(f"unknown norm_type {norm_type!r}")
 
@@ -295,13 +295,35 @@ def make_eot_grad(
             gdist = jax.tree.map(lambda g: jnp.mean(g, axis=0), gdists)
             avg_loss = jnp.mean(losses)
             rec, pert, out_lat = jax.tree.map(lambda a: a[-1], auxes)
-        else:  # "scan" — sequential reps, lowest memory
+        else:  # "scan" — sequential chunks of `eot_chunk` vmapped reps
+            chunk = max(int(getattr(cfg, "eot_chunk", 1)), 1)
+            if cfg.grad_reps % chunk:
+                raise ValueError(
+                    f"eot_chunk={chunk} must divide grad_reps={cfg.grad_reps}"
+                )
             zero = jax.tree.map(jnp.zeros_like, dist)
 
-            def body(acc, k):
-                (loss, aux), g = grad_fn(dist, params, data, prompt_idx, k)
-                gacc = jax.tree.map(jnp.add, acc[0], g)
-                return (gacc, acc[1] + loss), aux
+            if chunk == 1:
+                def body(acc, k):
+                    (loss, aux), g = grad_fn(dist, params, data, prompt_idx, k)
+                    gacc = jax.tree.map(jnp.add, acc[0], g)
+                    return (gacc, acc[1] + loss), aux
+            else:
+                # vmap a chunk of reps through the chain together: conv
+                # batches go from 2 (CFG) to 2×chunk — much better MXU
+                # utilization at ×chunk activation memory.
+                chunk_grad = jax.vmap(
+                    lambda k: grad_fn(dist, params, data, prompt_idx, k)
+                )
+                rep_keys = rep_keys.reshape((cfg.grad_reps // chunk, chunk))
+
+                def body(acc, ks):
+                    (losses, auxes), gs = chunk_grad(ks)
+                    gacc = jax.tree.map(
+                        lambda a, g: a + jnp.sum(g, axis=0), acc[0], gs
+                    )
+                    aux = jax.tree.map(lambda a: a[-1], auxes)
+                    return (gacc, acc[1] + jnp.sum(losses)), aux
 
             (gsum, lsum), auxes = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys)
             gdist = jax.tree.map(lambda g: g / cfg.grad_reps, gsum)

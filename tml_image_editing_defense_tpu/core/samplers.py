@@ -236,6 +236,15 @@ class LCMSampler(BaseSampler):
             # diffusers LCM strength handling: clip the *origin* schedule first.
             origin = origin[: int(self.original_inference_steps * strength)]
         origin = origin[::-1].copy()
+        if len(origin) < num_inference_steps:
+            # mirrors diffusers LCMScheduler.set_timesteps' explicit error
+            # (otherwise origin[::0] raises a cryptic zero-step slice)
+            raise ValueError(
+                f"num_inference_steps={num_inference_steps} exceeds the "
+                f"{len(origin)} origin timesteps available"
+                + (f" at strength={strength}" if strength is not None else "")
+                + f" (original_inference_steps={self.original_inference_steps})"
+            )
         skipping = len(origin) // num_inference_steps
         ts = origin[::skipping][:num_inference_steps].astype(np.int64)
         if limit_t is not None:

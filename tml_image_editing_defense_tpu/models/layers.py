@@ -88,6 +88,21 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+@jax.checkpoint
+def _remat_attention(q, k, v, mask):
+    """Fused attention with rematerialized backward.
+
+    The T×T score/prob matrices (4096² at 512² latents) are recomputed from
+    q/k/v in the backward pass instead of being saved — without this, saving
+    them across the K-step denoise scan costs gigabytes per step (measured:
+    27 GB at 512², an OOM) and forces conv-recompute remat policies.  With
+    attention internals never saved, the denoise scan can run with
+    ``remat_policy='none'`` (save all conv/dense outputs) on one chip.
+    Attention is <5% of step FLOPs at SD shapes, so the recompute is noise.
+    """
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
 class Attention(nn.Module):
     """Multi-head attention over flattened spatial tokens (self or cross).
 
@@ -114,7 +129,7 @@ class Attention(nn.Module):
         q = q.reshape(b, t, self.heads, self.dim_head)
         k = k.reshape(b, s, self.heads, self.dim_head)
         v = v.reshape(b, s, self.heads, self.dim_head)
-        o = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        o = _remat_attention(q, k, v, mask)
         o = o.reshape(b, t, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(o)
 
@@ -232,7 +247,7 @@ class SelfAttentionBlock(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        o = jax.nn.dot_product_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+        o = _remat_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], None)
         o = o.reshape(b, h * w, c)
         o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o)
         return res + o.reshape(b, h, w, c)

@@ -1,9 +1,8 @@
 """Pallas TPU kernels for the PGD hot path.
 
 The per-iteration elementwise chain — sign/normalized gradient step, ε-ball
-projection, value clamp (reference ``main.py:248-276``) and the noise-pool
-gather + q-sample injection (``main.py:211-216``) — fused into single-dispatch
-kernels with zero intermediate HBM traffic:
+projection, value clamp (reference ``main.py:248-276``) — fused into
+single-dispatch kernels with zero intermediate HBM traffic:
 
 - :func:`pgd_linf_update` — tiled, any size: one pass of VPU work per tile.
 - :func:`pgd_l2_update` — single-block kernel holding the whole image in VMEM
@@ -12,12 +11,14 @@ kernels with zero intermediate HBM traffic:
   is one dispatch instead of XLA's reduce→broadcast→reduce→broadcast chain.
   Falls back to the jnp path when operands exceed the VMEM budget (SDXL
   1024²).
-- :func:`noise_inject_from_pool` — scalar-prefetch gather of a noise-pool row
-  fused with ``sqrt(ᾱ)x + sqrt(1-ᾱ)ε``.
 
 All kernels are wrapped with shape-generic reshaping (TPU wants ≥2D,
 lane-dim 128) and carry a pure-jnp reference implementation used as fallback
 off-TPU and as the oracle in tests.
+
+(A scalar-prefetch noise-pool-gather kernel existed in round 1 but was never
+on the hot path — XLA already fuses the ``dynamic_index_in_dim`` + q-sample
+chain in attack/forward.py — so it was removed rather than carried dead.)
 """
 
 from __future__ import annotations
@@ -190,61 +191,12 @@ def pgd_l2_update(
     return _from_2d(out, n, x_adv.shape, dt)
 
 
-# ---------------------------------------------------------------------------
-# Noise-pool gather + q-sample injection
-# ---------------------------------------------------------------------------
-
-
-def _noise_inject_kernel(idx_ref, coef_ref, lat_ref, pool_ref, out_ref):
-    i = idx_ref[0]
-    sa, sb = coef_ref[0], coef_ref[1]
-    out_ref[:] = sa * lat_ref[:] + sb * pool_ref[i]
-
-
-def noise_inject_from_pool(
-    latents: jnp.ndarray,          # [1,h,w,4]
-    pool: jnp.ndarray,             # [N,1,h,w,4]
-    idx: jnp.ndarray,              # scalar int32
-    sqrt_alpha: jnp.ndarray,
-    sqrt_one_minus_alpha: jnp.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused pool-row gather + ``sqrt(ᾱ)x + sqrt(1-ᾱ)ε`` (main.py:211-216):
-    the scalar-prefetched index drives the gather inside the kernel, so the
-    selected noise row never materializes in HBM."""
-    if not (_on_tpu() or interpret):
-        sel = jax.lax.dynamic_index_in_dim(pool, idx, 0, keepdims=False)
-        return sqrt_alpha * latents + sqrt_one_minus_alpha * sel
-
-    dt = latents.dtype
-    l2, n = _as_2d(latents)
-    rows = l2.shape[0]
-    pool2 = pool.reshape(pool.shape[0], -1)
-    pad = rows * _LANE - pool2.shape[1]
-    pool2 = jnp.pad(pool2, ((0, 0), (0, pad))).reshape(pool.shape[0], rows, _LANE)
-    coef = jnp.asarray([sqrt_alpha, sqrt_one_minus_alpha], dt)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        _noise_inject_kernel,
-        out_shape=jax.ShapeDtypeStruct(l2.shape, dt),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(jnp.asarray([idx], jnp.int32), coef, l2, pool2)
-    return _from_2d(out, n, latents.shape, dt)
-
-
 def fused_perturbation_step(norm_type: str, **kw) -> jnp.ndarray:
-    """Pallas-fused dispatcher mirroring :func:`attack.pgd.perturbation_step`."""
+    """Pallas-fused dispatcher mirroring :func:`attack.pgd.perturbation_step`.
+
+    Mask semantics match the reference and the jnp path exactly: the
+    segmentation mask applies on the L2 branch only (main.py:260-261 vs the
+    unmasked L∞ branch at main.py:270-274)."""
     if norm_type == "l2":
         return pgd_l2_update(**kw)
     if norm_type == "linf":
