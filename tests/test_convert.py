@@ -102,7 +102,9 @@ def test_lora_fusion(tiny):
         "unet.bogus.module.lora_A.weight": a,
         "unet.bogus.module.lora_B.weight": b,
     }
-    fused = fuse_lora(params, lora_sd, scale=0.5)
+    with pytest.raises(KeyError):
+        fuse_lora(params, lora_sd, scale=0.5)          # strict default: bogus module
+    fused = fuse_lora(params, lora_sd, scale=0.5, strict=False)
     got = np.asarray(traverse_util.flatten_dict(fused)[path])
     expect = w + 0.5 * (4.0 / r) * (b @ a).T
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
@@ -111,3 +113,110 @@ def test_lora_fusion(tiny):
     np.testing.assert_array_equal(
         np.asarray(traverse_util.flatten_dict(fused)[other]), np.asarray(flat[other])
     )
+
+
+def test_conv_lora_fusion_matches_oracle(tiny):
+    """4-D conv adapters (PEFT layout: down [r,in,kh,kw], up [out,r,1,1])
+    must fuse as Δ[o,i,h,w] = Σ_r B[o,r]A[r,i,h,w] in HWIO — the conv part of
+    LCM-LoRA (reference fuse_lora, main.py:292-295)."""
+    from flax import traverse_util
+
+    params = tiny.params["unet"]
+    flat = traverse_util.flatten_dict(params)
+    path = ("down_blocks_0_resnets_0", "conv1", "kernel")
+    w = np.asarray(flat[path])                          # HWIO [3,3,in,out]
+    kh, kw, cin, cout = w.shape
+    rng = np.random.default_rng(1)
+    r = 2
+    a = rng.normal(size=(r, cin, kh, kw)).astype(np.float32)
+    b = rng.normal(size=(cout, r, 1, 1)).astype(np.float32)
+    key = "down_blocks.0.resnets.0.conv1"
+    lora_sd = {
+        f"unet.{key}.lora_A.weight": a,
+        f"unet.{key}.lora_B.weight": b,
+        f"unet.{key}.alpha": np.asarray(8.0, np.float32),
+    }
+    fused = fuse_lora(params, lora_sd, scale=1.0)
+    got = np.asarray(traverse_util.flatten_dict(fused)[path])
+    delta = np.einsum("or,rikl->oikl", b[:, :, 0, 0], a).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, w + (8.0 / r) * delta, rtol=1e-5, atol=1e-6)
+
+
+def test_lora_every_kernel_fusable(tiny):
+    """An LCM-LoRA-shaped adapter set (one pair per UNet kernel — attention
+    Denses AND conv1/conv2/conv_shortcut/samplers/proj layers) must fuse with
+    zero unmatched modules under strict=True: the name mapping covers every
+    module type the real checkpoint touches (VERDICT round-1 item 4)."""
+    from flax import traverse_util
+
+    from tml_image_editing_defense_tpu.models.convert import _generic_key
+
+    params = tiny.params["unet"]
+    flat = traverse_util.flatten_dict(params)
+    rng = np.random.default_rng(2)
+    lora_sd = {}
+    n_conv = n_dense = 0
+    for path, w in flat.items():
+        if path[-1] != "kernel":
+            continue
+        w = np.asarray(w)
+        key = _generic_key(path)[: -len(".weight")]
+        r = 2
+        if w.ndim == 2:                                 # [in, out]
+            a = rng.normal(size=(r, w.shape[0])).astype(np.float32)
+            b = rng.normal(size=(w.shape[1], r)).astype(np.float32)
+            n_dense += 1
+        elif w.ndim == 4:                               # HWIO
+            kh, kw, cin, cout = w.shape
+            a = rng.normal(size=(r, cin, kh, kw)).astype(np.float32)
+            b = rng.normal(size=(cout, r, 1, 1)).astype(np.float32)
+            n_conv += 1
+        else:
+            continue
+        lora_sd[f"unet.{key}.lora_A.weight"] = a
+        lora_sd[f"unet.{key}.lora_B.weight"] = b
+    assert n_conv > 3 and n_dense > 3                  # both families present
+    fused = fuse_lora(params, lora_sd, scale=0.1, strict=True)  # must not raise
+    for path, w in traverse_util.flatten_dict(fused).items():
+        if path[-1] == "kernel":
+            assert not np.array_equal(np.asarray(w), np.asarray(flat[path])), path
+
+
+MANIFESTS = [
+    ("sd15", "unet", "unet", "sd15_unet"),
+    ("sd15", "vae", "vae", "sd15_vae"),
+    ("sd15", ("text", 0), "clip", "sd15_text"),
+    ("sd15-inpaint", "unet", "unet", "sd15_inpaint_unet"),
+    ("sdxl", "unet", "unet", "sdxl_unet"),
+    ("sdxl", "vae", "vae", "sdxl_vae"),
+    ("sdxl", ("text", 0), "clip", "sdxl_text"),
+    ("sdxl", ("text", 1), "clip", "sdxl_text_2"),
+]
+
+
+@pytest.mark.parametrize("family,part,kind,name", MANIFESTS)
+def test_real_config_key_manifest(family, part, kind, name):
+    """Every parameter of the REAL SD-1.5/SDXL checkpoints (key + torch
+    shape, manifests generated independently of the converter — see
+    scripts/gen_key_manifests.py) must be exactly what the full-size template
+    exports: the offline proof that a real checkpoint converts with zero
+    unmapped params (reference model loading, main.py:278-309)."""
+    import json
+    from pathlib import Path
+
+    from tml_image_editing_defense_tpu.models.convert import export_key_shapes
+    from tml_image_editing_defense_tpu.models.model_zoo import param_shapes
+
+    shapes = param_shapes(family)
+    tree = shapes[part] if isinstance(part, str) else shapes[part[0]][part[1]]
+    exported = export_key_shapes(tree, kind)
+    manifest = json.loads(
+        (Path(__file__).parent / "manifests" / f"{name}.json").read_text()
+    )
+    missing = set(manifest) - set(exported)
+    extra = set(exported) - set(manifest)
+    assert not missing, f"{len(missing)} checkpoint keys unmapped, e.g. {sorted(missing)[:5]}"
+    assert not extra, f"{len(extra)} model params not in checkpoint, e.g. {sorted(extra)[:5]}"
+    bad = {k: (exported[k], tuple(manifest[k])) for k in manifest
+           if tuple(exported[k]) != tuple(manifest[k])}
+    assert not bad, f"{len(bad)} shape mismatches, e.g. {list(bad.items())[:5]}"

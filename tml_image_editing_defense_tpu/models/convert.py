@@ -145,6 +145,28 @@ def export_state_dict(params: dict, kind: str = "unet") -> Dict[str, np.ndarray]
     return out
 
 
+def export_key_shapes(params, kind: str = "unet") -> Dict[str, tuple]:
+    """Torch-layout {key: shape} for a param tree OR a tree of
+    ``jax.ShapeDtypeStruct`` (from ``eval_shape`` — no weights needed).
+
+    This is what the real-checkpoint manifest tests compare against
+    (tests/manifests/*.json): if any real-config parameter would go unmapped
+    or mis-shaped by the converter, the comparison fails offline.
+    """
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, arr in flat.items():
+        key = _clip_key(path) if kind == "clip" else _generic_key(path)
+        shape = tuple(arr.shape)
+        if path[-1] == "kernel":
+            if len(shape) == 2:
+                shape = shape[::-1]                      # [in,out] → [out,in]
+            elif len(shape) == 4:
+                shape = (shape[3], shape[2], shape[0], shape[1])  # HWIO → OIHW
+        out[key] = shape
+    return out
+
+
 def load_safetensors(path: Path) -> Dict[str, np.ndarray]:
     """Load a ``.safetensors`` file to numpy (no torch dependency)."""
     from safetensors.numpy import load_file

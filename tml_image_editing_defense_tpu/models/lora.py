@@ -53,14 +53,49 @@ def collect_lora_pairs(
     return pairs
 
 
+def _lora_delta(a: np.ndarray, b: np.ndarray, kernel_ndim: int) -> np.ndarray:
+    """LoRA delta in OUR kernel layout.
+
+    Dense (flax ``[in, out]``): torch factors A ``[r, in]``, B ``[out, r]`` →
+    ``(B·A)^T``.
+
+    Conv (flax HWIO ``[kh, kw, in, out]``): PEFT stores lora_A as a Conv2d
+    with the target's kernel size — torch ``[r, in, kh, kw]`` — and lora_B as
+    a 1×1 conv ``[out, r, 1, 1]``; the composed delta is
+    ``Δ[o,i,kh,kw] = Σ_r B[o,r]·A[r,i,kh,kw]`` (what diffusers' fuse_lora
+    materializes at main.py:292-295, 305-308), transposed to HWIO.
+    """
+    if kernel_ndim == 2:
+        if a.ndim == 4:        # rank factors stored conv-style for a 1×1 proj
+            a = a.reshape(a.shape[0], -1)
+        if b.ndim == 4:
+            b = b.reshape(b.shape[0], -1)
+        return (b @ a).T                                   # [in, out]
+    if kernel_ndim == 4:
+        if a.ndim == 2:
+            # 1×1 conv adapters are sometimes stored as plain matrices
+            a = a[:, :, None, None]
+        b2 = b.reshape(b.shape[0], b.shape[1])             # [out, r]
+        delta = np.einsum("or,rikl->oikl", b2, a)          # torch OIHW
+        return delta.transpose(2, 3, 1, 0)                 # HWIO
+    raise ValueError(f"unsupported kernel ndim {kernel_ndim}")
+
+
 def fuse_lora(
     params: dict,
     lora_state: Dict[str, np.ndarray],
     scale: float = 1.0,
-    strict: bool = False,
+    strict: bool = True,
 ) -> dict:
     """Return a new param tree with LoRA deltas fused into matching Dense
-    kernels (our kernels are [in,out]; delta = (B·A)^T)."""
+    AND Conv kernels (``W' = W + scale·alpha/r·Δ``), the pure-param analog of
+    diffusers ``pipeline.fuse_lora()`` (main.py:292-295, 305-308).
+
+    LCM-LoRA checkpoints carry adapters on conv1/conv2/conv_shortcut,
+    up/downsampler convs and proj_in/proj_out in addition to the attention
+    Denses — all are fused.  ``strict=True`` (default) fails loudly on any
+    unmatched adapter: a partially-fused UNet is numerically wrong.
+    """
     from tml_image_editing_defense_tpu.models.convert import _generic_key
 
     pairs = collect_lora_pairs(lora_state)
@@ -68,13 +103,13 @@ def fuse_lora(
     used = set()
     out = {}
     for path, w in flat.items():
-        if path[-1] != "kernel" or w.ndim != 2:
+        if path[-1] != "kernel" or w.ndim not in (2, 4):
             out[path] = w
             continue
         key = _generic_key(path)[: -len(".weight")]
         if key in pairs:
             a, b, s = pairs[key]
-            delta = (b @ a).T.astype(np.asarray(w).dtype)   # [in,out]
+            delta = _lora_delta(a, b, w.ndim).astype(np.asarray(w).dtype)
             out[path] = w + scale * s * jnp.asarray(delta)
             used.add(key)
         else:

@@ -194,6 +194,46 @@ def _fast_random_params(shapes_tree, seed: int, dtype) -> dict:
     return traverse_util.unflatten_dict(out)
 
 
+def param_shapes(family: str, image_size: Optional[int] = None) -> dict:
+    """Full-size parameter SHAPE trees (``jax.ShapeDtypeStruct``) for a
+    family, via ``eval_shape`` — no weight materialization, runs in seconds
+    even for SDXL.  Used by the real-checkpoint manifest tests."""
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
+    unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
+    image_size = image_size or native
+    unet = UNet2DCondition(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    texts = tuple(CLIPTextModel(c) for c in text_cfgs)
+    f = 2 ** (len(vae_cfg.block_out_channels) - 1)
+    lat = image_size // f
+    sample = jnp.zeros((1, lat, lat, unet_cfg.in_channels))
+    ctx = jnp.zeros((1, text_cfgs[0].max_length, unet_cfg.cross_attention_dim))
+    kwargs = {}
+    if unet_cfg.addition_embed_type == "text_time":
+        pooled_dim = (
+            unet_cfg.projection_class_embeddings_input_dim
+            - 6 * unet_cfg.addition_time_embed_dim
+        )
+        kwargs = {
+            "text_embeds": jnp.zeros((1, pooled_dim)),
+            "time_ids": jnp.zeros((1, 6)),
+        }
+    img = jnp.zeros((1, image_size, image_size, vae_cfg.in_channels))
+    return {
+        "unet": jax.eval_shape(
+            lambda: unet.init(jax.random.key(0), sample, jnp.zeros((), jnp.int32), ctx, **kwargs)
+        )["params"],
+        "vae": jax.eval_shape(lambda: vae.init(jax.random.key(0), img, jax.random.key(0)))["params"],
+        "text": tuple(
+            jax.eval_shape(
+                lambda tm=tm, c=c: tm.init(jax.random.key(0), jnp.zeros((1, c.max_length), jnp.int32))
+            )["params"]
+            for tm, c in zip(texts, text_cfgs)
+        ),
+    }
+
+
 def build_model(
     family: str = "sd15",
     key: Optional[jax.Array] = None,
