@@ -100,6 +100,39 @@ def test_evaluate_grids(img_file, tmp_path, tiny_model):
     assert len(saved) == 2 + 2                   # train grids + val grids
 
 
+def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model):
+    """batch_edits=True (one vmapped dispatch for all prompt×noise cells)
+    must write byte-identical grids to the sequential per-cell path — the
+    host RNG stream is drawn in the same order (VERDICT round-1 item 8)."""
+    cfg = _train_cfg(img_file, tmp_path / "t0")
+    res = api.immunize(cfg, model=tiny_model)
+    val_list = tmp_path / "validation_images.txt"
+    val_list.write_text(f"{img_file}\n")
+
+    def _inf(out):
+        return InferenceConfig(
+            source_image_path=img_file, target_image_path=img_file,
+            output_path=out, n_steps=2, strength=0.6, guidance_scale=4.0,
+            n_noise=2, image_size=32, use_lcm=True,
+            validation_images_path=val_list, seed=5,
+        )
+
+    kw = dict(inference_prompts=["frozen", "gold", "red"], model=tiny_model,
+              noises=None)
+    api.evaluate(_inf(tmp_path / "seq"), res.adversarial_image,
+                 batch_edits=False, **kw)
+    api.evaluate(_inf(tmp_path / "bat"), res.adversarial_image,
+                 batch_edits=True, **kw)
+    seq = sorted((tmp_path / "seq").glob("*.png"))
+    bat = sorted((tmp_path / "bat").glob("*.png"))
+    assert len(seq) == len(bat) == 12            # (3 prompts × 2 noises) × 2
+    for a, b in zip(seq, bat):
+        assert a.name == b.name
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(a)), np.asarray(Image.open(b)), err_msg=a.name
+        )
+
+
 def test_transfer_perturbation_matches_reference_semantics():
     rng = np.random.default_rng(1)
     orig = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
@@ -273,6 +306,50 @@ def test_immunize_sdxl_family(img_file, tmp_path):
     res = api.immunize(cfg, model=sdxl)
     assert (tmp_path / "x" / "adversarial_image.png").exists()
     assert np.isfinite(np.asarray(res.x_adv)).all()
+
+
+def test_evaluate_sdxl_windowing_e2e(img_file, tmp_path):
+    """SDXL path through api.evaluate with denoising_end windowing +
+    aesthetic-score micro-conditioning (sdxl_img2img_pipeline.py:306-320,
+    344-378) — previously only unit-tested at the pipeline level (VERDICT
+    round-1 item 10)."""
+    from tml_image_editing_defense_tpu.models import build_model as _bm
+
+    sdxl = _bm("tiny-sdxl", key=jax.random.key(3))
+    cfg = _train_cfg(img_file, tmp_path / "sx", use_sdxl=True,
+                     model_family="tiny-sdxl")
+    res = api.immunize(cfg, model=sdxl)
+
+    def _inf(out, **kw):
+        return InferenceConfig(
+            source_image_path=img_file, target_image_path=img_file,
+            output_path=out, n_steps=4, strength=0.8, guidance_scale=4.0,
+            n_noise=1, image_size=32, use_sdxl=True, use_lcm=True,
+            validation_images_path=None, **kw,
+        )
+
+    # denoising_end windowing on the base-shaped model (6-tuple time ids)
+    inf = _inf(tmp_path / "sxe", model_family="tiny-sdxl", denoising_end=0.6)
+    grids = api.evaluate(inf, res.adversarial_image,
+                         inference_prompts=["frozen"], model=sdxl,
+                         noises=res.noise_pool)
+    assert len(grids) == 1
+    assert np.asarray(grids[0]).sum() > 0        # rendered, non-black
+    # windowing sanity: denoising_end shortens the executed plan
+    from tml_image_editing_defense_tpu.pipelines import Img2ImgPipeline
+    pipe = Img2ImgPipeline(sdxl, sampler="lcm")
+    _, plan_full = pipe._core((4, 0.8, None, None, False))
+    _, plan_cut = pipe._core((4, 0.8, None, 0.6, False))
+    assert plan_cut.num_steps < plan_full.num_steps
+
+    # aesthetic-score (refiner-style 5-tuple) micro-conditioning end to end
+    refiner = _bm("tiny-sdxl-refiner", key=jax.random.key(4))
+    inf2 = _inf(tmp_path / "sxr", model_family="tiny-sdxl-refiner",
+                aesthetic_score=6.0, negative_aesthetic_score=2.5)
+    grids2 = api.evaluate(inf2, res.adversarial_image,
+                          inference_prompts=["gold"], model=refiner,
+                          noises=res.noise_pool)
+    assert len(grids2) == 1 and np.asarray(grids2[0]).sum() > 0
 
 
 def test_immunize_deterministic(img_file, tmp_path, tiny_model):

@@ -127,7 +127,11 @@ def immunize(
     # cfg.eta is consumed only by samplers whose step takes it (main.py:219-220);
     # PLMS/LCM/Euler — the live training schedulers — do not.
     kind = training_sampler_kind(model.family, cfg.use_lcm)
-    if cfg.eta and kind != "ddim":
+    _eta_default = type(cfg).__dataclass_fields__["eta"].default
+    if cfg.eta and cfg.eta != _eta_default and kind != "ddim":
+        # default eta (reference configs.py:110) stays silent — the
+        # reference's LCM/PNDM ignore it too; only an explicit override
+        # that will do nothing deserves a warning.
         import warnings
 
         warnings.warn(
@@ -346,10 +350,16 @@ def evaluate(
     noises: Optional[jnp.ndarray] = None,
     training_prompts: Optional[Sequence[str]] = None,
     logger: Optional[MetricsLogger] = None,
+    batch_edits: bool = True,
 ) -> List[Image.Image]:
     """Clean-vs-adversarial edit comparison (Inference.run_inference,
     main.py:431-589): per (prompt × noise) a 5-image grid on the train image,
-    then transfer to validation images with 4-image grids."""
+    then transfer to validation images with 4-image grids.
+
+    ``batch_edits=True`` (default) runs ALL (prompt × noise) double-edits of
+    an image as one vmapped dispatch — identical per-cell keys/outputs to the
+    sequential path (the reference runs 19 × n_noise sequential pipeline
+    pairs), at a fraction of the wall-clock."""
     del training_prompts  # accepted for signature parity; unused (main.py:469)
     dtype = jnp.dtype(cfg.dtype)
     inference_prompts = list(inference_prompts or INFERENCE_PROMPTS)
@@ -382,45 +392,81 @@ def evaluate(
     out_dir.mkdir(parents=True, exist_ok=True)
     output_images: List[Image.Image] = []
 
-    def edit_pair(clean_img, adv_img, prompt: str, noise):
-        """One clean edit (fresh noise) + one adversarial edit (pinned noise),
-        reference main.py:483-500 — batched into a single dispatch (the
-        reference runs two sequential pipeline calls)."""
-        fresh = jax.random.normal(ks.next(), lat_shape, dtype)
-        pinned = jnp.asarray(noise, dtype)
-        if pinned.ndim == 3:
-            pinned = pinned[None]
-        if pinned.shape[-1] != lat_shape[-1]:
-            pinned = jnp.transpose(pinned, (0, 2, 3, 1))
-        out_clean, out_adv = pipeline(
-            prompt=prompt, image=[clean_img, adv_img],
-            num_inference_steps=cfg.n_steps, guidance_scale=cfg.guidance_scale,
-            strength=cfg.strength, noise=jnp.concatenate([fresh, pinned]),
-            key=ks.next(),
-        )
-        return out_clean, out_adv
-
     def noises_for_prompt():
         if noises is not None:
             return [noises[i] for i in range(noises.shape[0])]
         return [jax.random.normal(ks.next(), lat_shape, dtype) for _ in range(cfg.n_noise)]
 
-    for raw_prompt in inference_prompts:
-        prompt = format_prompt(raw_prompt, caption)
-        for noise_idx, noise in enumerate(noises_for_prompt()):
-            out_clean, out_adv = edit_pair(source_pil, adversarial_image, prompt, noise)
-            grid = create_table_plot(
-                images=[source_pil.resize((size, size)), target_pil.resize((size, size)),
-                        adversarial_image.resize((size, size)),
-                        out_clean.resize((size, size)), out_adv.resize((size, size))],
-                captions=["Source Image", "Target Image", "Adversarial Image",
-                          f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
+    def collect_cells():
+        """One cell per (prompt × noise): (prompt, noise_idx, pair_noise,
+        key), host RNG drawn in EXACTLY the sequential order (fresh noise,
+        then the pipeline key — main.py:469-500), so batched and sequential
+        dispatch produce identical images."""
+        cells = []
+        for raw_prompt in inference_prompts:
+            prompt = format_prompt(raw_prompt, caption)
+            for noise_idx, noise in enumerate(noises_for_prompt()):
+                fresh = jax.random.normal(ks.next(), lat_shape, dtype)
+                pinned = jnp.asarray(noise, dtype)
+                if pinned.ndim == 3:
+                    pinned = pinned[None]
+                if pinned.shape[-1] != lat_shape[-1]:
+                    pinned = jnp.transpose(pinned, (0, 2, 3, 1))
+                cells.append((prompt, noise_idx,
+                              jnp.concatenate([fresh, pinned]), ks.next()))
+        return cells
+
+    def run_cells(cells, clean_img, adv_img):
+        """All double-edits for one image: a single vmapped dispatch when
+        ``batch_edits`` (P× fewer dispatches than the reference's sequential
+        pipeline pairs), else per-cell calls.  Returns [(out_clean_pil,
+        out_adv_pil)] in cell order."""
+        pair = pipeline._prepare_image([clean_img, adv_img])   # [2,H,W,3]
+        sdxl_kw = dict(
+            denoising_end=cfg.denoising_end,
+            aesthetic_score=cfg.aesthetic_score,
+            negative_aesthetic_score=cfg.negative_aesthetic_score,
+        )
+        if batch_edits:
+            outs = pipeline.edit_pairs(
+                prompts=[c[0] for c in cells],
+                pair_images=jnp.broadcast_to(pair, (len(cells),) + pair.shape),
+                pair_noises=jnp.stack([c[2] for c in cells]),
+                keys=jnp.stack([c[3] for c in cells]),
+                num_inference_steps=cfg.n_steps,
+                guidance_scale=cfg.guidance_scale,
+                strength=cfg.strength,
+                **sdxl_kw,
             )
-            save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
-            if cfg.save_images:
-                grid.save(out_dir / f"{save_name}_noise_{noise_idx}.png")
-            logger.log_image("Train Images - Validation Prompts", grid, caption=prompt)
-            output_images.append(grid)
+            outs = np.asarray(jax.device_get(outs))            # [P,2,H,W,3]
+            to_pil = lambda a: image_ops.to_pil(
+                a[None].transpose(0, 3, 1, 2), denormalize=False)
+            return [(to_pil(outs[i, 0]), to_pil(outs[i, 1])) for i in range(len(cells))]
+        results = []
+        for prompt, _, pair_noise, key in cells:
+            out_clean, out_adv = pipeline(
+                prompt=prompt, image=[clean_img, adv_img],
+                num_inference_steps=cfg.n_steps, guidance_scale=cfg.guidance_scale,
+                strength=cfg.strength, noise=pair_noise, key=key, **sdxl_kw,
+            )
+            results.append((out_clean, out_adv))
+        return results
+
+    cells = collect_cells()
+    for (prompt, noise_idx, _, _), (out_clean, out_adv) in zip(
+            cells, run_cells(cells, source_pil, adversarial_image)):
+        grid = create_table_plot(
+            images=[source_pil.resize((size, size)), target_pil.resize((size, size)),
+                    adversarial_image.resize((size, size)),
+                    out_clean.resize((size, size)), out_adv.resize((size, size))],
+            captions=["Source Image", "Target Image", "Adversarial Image",
+                      f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
+        )
+        save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
+        if cfg.save_images:
+            grid.save(out_dir / f"{save_name}_noise_{noise_idx}.png")
+        logger.log_image("Train Images - Validation Prompts", grid, caption=prompt)
+        output_images.append(grid)
 
     if cfg.validation_images_path is not None and Path(cfg.validation_images_path).exists():
         val_paths = [
@@ -434,20 +480,19 @@ def evaluate(
                 transfer_perturbation(perturbation, np.asarray(source_pil, np.float32),
                                       np.asarray(val_pil, np.float32))
             )
-            for raw_prompt in inference_prompts:
-                prompt = format_prompt(raw_prompt, caption)
-                for noise_idx, noise in enumerate(noises_for_prompt()):
-                    out_clean, out_adv = edit_pair(val_pil, val_adv, prompt, noise)
-                    grid = create_table_plot(
-                        images=[val_pil.resize((size, size)), val_adv.resize((size, size)),
-                                out_clean.resize((size, size)), out_adv.resize((size, size))],
-                        captions=["Val Original Image", "Val Adversarial Image",
-                                  f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
-                    )
-                    save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
-                    if cfg.save_images:
-                        grid.save(out_dir / f"val_{val_path.stem}_{save_name}_noise_{noise_idx}.png")
-                    logger.log_image("Val Images - Validation Prompt", grid, caption=prompt)
+            val_cells = collect_cells()
+            for (prompt, noise_idx, _, _), (out_clean, out_adv) in zip(
+                    val_cells, run_cells(val_cells, val_pil, val_adv)):
+                grid = create_table_plot(
+                    images=[val_pil.resize((size, size)), val_adv.resize((size, size)),
+                            out_clean.resize((size, size)), out_adv.resize((size, size))],
+                    captions=["Val Original Image", "Val Adversarial Image",
+                              f"Edit on Original ({prompt})", f"Edit on Adversarial ({prompt})"],
+                )
+                save_name = "-".join(prompt[:30].split()) if prompt else "empty_prompt"
+                if cfg.save_images:
+                    grid.save(out_dir / f"val_{val_path.stem}_{save_name}_noise_{noise_idx}.png")
+                logger.log_image("Val Images - Validation Prompt", grid, caption=prompt)
 
     return output_images
 

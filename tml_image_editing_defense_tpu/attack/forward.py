@@ -111,7 +111,14 @@ def denoise_chain(
             body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
         )
     carry0 = sampler.init_carry(latents.shape, latents.dtype)
-    (x, _), _ = jax.lax.scan(body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys))
+    # Short training chains (LCM K≤4) unroll: kills the while-loop overhead
+    # and the stacked scan residuals; measured ~1.4% faster on v5e @512².
+    # Long evaluation chains (PLMS-50) stay rolled to bound program size.
+    unroll = plan.num_steps <= 4
+    (x, _), _ = jax.lax.scan(
+        body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys),
+        unroll=unroll,
+    )
     return x
 
 

@@ -267,6 +267,13 @@ class InferenceConfig:
     image_size: int = 512
     model_family: Optional[str] = None
 
+    # --- SDXL refiner-style knobs (sdxl_img2img_pipeline.py:306-320,
+    #     344-378): stop the edit early at the given fraction, and/or build
+    #     aesthetic-score 5-tuple micro-conditioning ids ---
+    denoising_end: Optional[float] = None
+    aesthetic_score: Optional[float] = None
+    negative_aesthetic_score: Optional[float] = None
+
     # --- TPU-native knobs ---
     dtype: str = "float32"
     save_images: bool = True

@@ -37,6 +37,7 @@ from tml_image_editing_defense_tpu.models.unet import (
     SD15_UNET,
     SDXL_UNET,
     TINY_INPAINT_UNET,
+    TINY_SDXL_REFINER_UNET,
     TINY_SDXL_UNET,
     TINY_UNET,
     UNet2DCondition,
@@ -164,6 +165,7 @@ _FAMILIES = {
     "tiny": (TINY_UNET, TINY_VAE, (TINY_TEXT,), 32),
     "tiny-inpaint": (TINY_INPAINT_UNET, TINY_VAE, (TINY_TEXT,), 32),
     "tiny-sdxl": (TINY_SDXL_UNET, TINY_VAE, (TINY_TEXT, TINY_TEXT), 32),
+    "tiny-sdxl-refiner": (TINY_SDXL_REFINER_UNET, TINY_VAE, (TINY_TEXT, TINY_TEXT), 32),
 }
 
 
@@ -258,7 +260,7 @@ def build_model(
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
     unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
     image_size = image_size or native
-    if family.endswith("sdxl"):
+    if "sdxl" in family:
         base_family = "sdxl"
     elif family.startswith("sd15"):
         base_family = "sd15"

@@ -114,6 +114,24 @@ TINY_SDXL_UNET = UNetConfig(
     projection_class_embeddings_input_dim=8 * 6 + 32,  # 6 time_ids + pooled dim 32
 )
 
+#: Tiny refiner-shaped preset: ``requires_aesthetics_score`` models condition
+#: on a 5-tuple (original + crop + aesthetic score) instead of the base
+#: 6-tuple (sdxl_img2img_pipeline.py:344-378) — the projection input dim
+#: shrinks by one time-id embed accordingly.
+TINY_SDXL_REFINER_UNET = UNetConfig(
+    sample_size=8,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_blocks=(False, True),
+    transformer_layers_per_block=(0, 2),
+    num_attention_heads=(2, 2),
+    cross_attention_dim=64,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=8 * 5 + 32,  # 5 time_ids + pooled dim 32
+)
+
 
 class UNet2DCondition(nn.Module):
     config: UNetConfig

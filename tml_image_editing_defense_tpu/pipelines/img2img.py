@@ -193,6 +193,71 @@ class Img2ImgPipeline:
         return out
 
 
+    # -- batched evaluation core --------------------------------------------
+
+    def _pairs_core(self, plan_key):
+        """vmap of the single-pair program over P (prompt × noise) cells —
+        the whole evaluation sweep as ONE dispatch.  Each cell keeps its own
+        RNG key and CFG pair, so per-cell results equal the sequential path
+        (reference runs 19 prompts × n_noise sequential double-edits,
+        main.py:469-521)."""
+        ck = ("pairs",) + plan_key
+        if ck in self._jitted:
+            return self._jitted[ck]
+        generate, plan = self._core(plan_key)
+        # in_axes: params shared; per-cell image pair, ctx, (te, tids), noise,
+        # key; guidance shared.
+        vgen = jax.jit(jax.vmap(
+            generate.__wrapped__,
+            in_axes=(None, 0, 0, 0, 0, 0, 0, None),
+        ))
+        self._jitted[ck] = (vgen, plan)
+        return self._jitted[ck]
+
+    def edit_pairs(
+        self,
+        prompts: Sequence[str],
+        pair_images: jnp.ndarray,            # [P, 2, H, W, 3] (clean, adv)
+        pair_noises: jnp.ndarray,            # [P, 2, h, w, 4]
+        keys: jax.Array,                     # [P]
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        strength: float = 0.6,
+        negative_prompt: str = "",
+        denoising_end: Optional[float] = None,
+        aesthetic_score: Optional[float] = None,
+        negative_aesthetic_score: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """Batched (clean, adv) double-edits: one jitted dispatch for all P
+        cells.  Returns [P, 2, H, W, 3] in [0, 1]."""
+        P = len(prompts)
+        assert pair_images.shape[0] == P and keys.shape[0] == P
+        ctxs, tes, tidss = [], [], []
+        for p in prompts:
+            ctx, te, tids = self._prepare_cond(
+                p, negative_prompt, aesthetic_score, negative_aesthetic_score
+            )
+            ctxs.append(jnp.repeat(ctx, 2, axis=0))          # [uu cc]
+            tes.append(None if te is None else jnp.repeat(te, 2, axis=0))
+            tidss.append(None if tids is None else jnp.repeat(tids, 2, axis=0))
+        ctx = jnp.stack(ctxs)
+        te = None if tes[0] is None else jnp.stack(tes)
+        tids = None if tidss[0] is None else jnp.stack(tidss)
+        vgen, plan = self._pairs_core(
+            (num_inference_steps, float(strength), None, denoising_end, False)
+        )
+        return vgen(
+            self.model.params,
+            pair_images.astype(self.dtype),
+            ctx.astype(self.dtype),
+            te,
+            tids,
+            pair_noises.astype(self.dtype),
+            keys,
+            jnp.asarray(guidance_scale, self.dtype),
+        )
+
+
 class Txt2ImgPipeline(Img2ImgPipeline):
     """Text-to-image generation (reference ``sdxl_pipeline.py`` capability);
     also accepts precomputed ``latents`` + a custom single-timestep plan the
