@@ -1,0 +1,132 @@
+"""Measure SDXL at native 1024² on the real chip (VERDICT r1 item 6).
+
+The reference trains SDXL immunization at its native resolution
+(/root/reference/main.py:284-295 loads stable-diffusion-xl-base-1.0;
+old/train_noise.py:94 uses 1024² perturbations).  Round 1 only ever ran
+SDXL at 512²; this probe answers SURVEY §7's "make-or-break" question —
+does the fwd+bwd PGD step through the 2.57B-param UNet fit one chip at
+1024², and at what cost:
+
+  1. one evaluation edit (LCM-4, inference only) at 1024²
+  2. one diffusion PGD step (reference L2 config: 10 EOT reps × LCM chain
+     with t<700 filter × CFG) per remat policy, with peak-HBM stats
+
+Writes one JSON line per measurement to stdout; progress to stderr.
+Run: PYTHONPATH=/root/repo python scripts/probe_sdxl_1024.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+    from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.core.samplers import LCMSampler
+    from tml_image_editing_defense_tpu.models import build_model
+    from tml_image_editing_defense_tpu.pipelines.img2img import Img2ImgPipeline
+    from tml_image_editing_defense_tpu.utils.profiling import device_memory_stats
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    dtype = jnp.bfloat16
+
+    t0 = time.time()
+    xl = build_model("sdxl", key=jax.random.key(0), dtype=dtype,
+                     image_size=1024, fast_init=True)
+    log(f"built SDXL@1024 in {time.time() - t0:.1f}s; "
+        f"latent_shape={xl.latent_shape}")
+    src = jnp.clip(
+        jax.random.normal(jax.random.key(1), (1, 1024, 1024, 3), jnp.float32) * 0.4,
+        -1, 1,
+    ).astype(dtype)
+
+    # ---- 1. eval edit (inference only, LCM-4 like run_all.py:69-93) -------
+    try:
+        pipe = Img2ImgPipeline(xl, sampler="lcm", dtype=dtype)
+        t0 = time.time()
+        out = pipe("a photo of a lake, detailed", src, num_inference_steps=4,
+                   guidance_scale=3.0, strength=0.6, output_type="array",
+                   key=jax.random.key(2))
+        jax.block_until_ready(out)
+        log(f"eval edit compile+run {time.time() - t0:.1f}s")
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            out = pipe("a photo of a lake, detailed", src, num_inference_steps=4,
+                       guidance_scale=3.0, strength=0.6, output_type="array",
+                       key=jax.random.key(10 + i))
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        mem = device_memory_stats(dev)
+        emit(probe="sdxl_1024_eval_edit_lcm4", s_per_edit=round(min(ts), 3),
+             peak_hbm_gb=round(mem.get("peak_bytes_in_use", 0) / 2**30, 2))
+        log(f"eval edit: {min(ts):.3f}s, peak HBM "
+            f"{mem.get('peak_bytes_in_use', 0) / 2**30:.2f} GB")
+    except Exception as e:
+        emit(probe="sdxl_1024_eval_edit_lcm4", error=f"{type(e).__name__}: {e}")
+        log(f"eval edit FAILED: {type(e).__name__}: {e}")
+
+    # ---- 2. PGD step per remat policy --------------------------------------
+    sampler = LCMSampler(xl.schedule)
+    plan = sampler.plan(4, limit_t=700)
+    bank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
+    pool = make_noise_pool(jax.random.key(3), 1, xl.latent_shape, dtype)
+
+    for policy in ("dots", "full"):
+        try:
+            cfg = TrainConfig(
+                norm_type="l2", n_denoising_steps_per_iteration=4,
+                limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
+                use_sdxl=True, image_size=1024, dtype="bfloat16",
+                eot_mode="scan", remat_policy=policy, prompts=list(PROMPTS_LIST),
+            )
+            data = make_attack_data(xl, cfg, src, jnp.zeros_like(src), bank, pool)
+            step = jax.jit(make_pgd_step(xl, sampler, plan, cfg))
+            t0 = time.time()
+            x1, aux = step(xl.params, src, data, jax.random.key(4))
+            jax.block_until_ready(x1)
+            compile_s = time.time() - t0
+            log(f"[{policy}] compile+first {compile_s:.1f}s "
+                f"(loss {float(aux['avg_loss']):.1f})")
+            ts, x = [], x1
+            for i in range(2):
+                t0 = time.time()
+                x, aux = step(xl.params, x, data, jax.random.key(100 + i))
+                jax.block_until_ready(x)
+                ts.append(time.time() - t0)
+            mem = device_memory_stats(dev)
+            emit(probe=f"sdxl_1024_pgd_step_{policy}",
+                 s_per_step=round(min(ts), 3),
+                 s_per_250step_image=round(250 * min(ts), 1),
+                 compile_s=round(compile_s, 1),
+                 peak_hbm_gb=round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+                 hbm_limit_gb=round(mem.get("bytes_limit", 0) / 2**30, 2))
+            log(f"[{policy}] {min(ts):.3f} s/step, peak HBM "
+                f"{mem.get('peak_bytes_in_use', 0) / 2**30:.2f} GB")
+        except Exception as e:
+            emit(probe=f"sdxl_1024_pgd_step_{policy}",
+                 error=f"{type(e).__name__}: {str(e)[:300]}")
+            log(f"[{policy}] FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
+if __name__ == "__main__":
+    main()

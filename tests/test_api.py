@@ -133,6 +133,61 @@ def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model):
         )
 
 
+def test_negative_prompt_threads_e2e(img_file, tmp_path, tiny_model):
+    """A non-empty negative prompt (the reference's NEGATIVE_PROMPT bank,
+    configs.py:83 — commented out there, exposed as a config field here)
+    must reach the CFG uncond embeddings in training AND evaluation."""
+    neg = "blurry, deformed"
+    bank_n = tiny_model.embed_prompt_bank(["a"], neg)
+    bank_e = tiny_model.embed_prompt_bank(["a"], "")
+    assert not np.allclose(np.asarray(bank_n.uncond), np.asarray(bank_e.uncond))
+
+    # immunize: same seed, negative prompt flips the CFG uncond branch →
+    # different adversarial image
+    r0 = api.immunize(_train_cfg(img_file, tmp_path / "p0"), model=tiny_model)
+    r1 = api.immunize(
+        _train_cfg(img_file, tmp_path / "p1", negative_prompt=neg),
+        model=tiny_model,
+    )
+    assert np.asarray(r0.adversarial_image).shape == np.asarray(r1.adversarial_image).shape
+    assert not np.array_equal(np.asarray(r0.adversarial_image),
+                              np.asarray(r1.adversarial_image))
+
+    # evaluate: both dispatch paths consume it and stay byte-identical
+    def _inf(out):
+        return InferenceConfig(
+            source_image_path=img_file, target_image_path=img_file,
+            output_path=out, n_steps=2, strength=0.6, guidance_scale=4.0,
+            n_noise=1, image_size=32, use_lcm=True, seed=7,
+            validation_images_path=None, negative_prompt=neg,
+        )
+
+    kw = dict(inference_prompts=["frozen"], model=tiny_model, noises=None)
+    api.evaluate(_inf(tmp_path / "nseq"), r1.adversarial_image,
+                 batch_edits=False, **kw)
+    api.evaluate(_inf(tmp_path / "nbat"), r1.adversarial_image,
+                 batch_edits=True, **kw)
+    seq = sorted((tmp_path / "nseq").glob("*.png"))
+    bat = sorted((tmp_path / "nbat").glob("*.png"))
+    assert len(seq) == len(bat) == 1
+    np.testing.assert_array_equal(np.asarray(Image.open(seq[0])),
+                                  np.asarray(Image.open(bat[0])))
+
+    # and a non-empty negative prompt changes the edit itself
+    api.evaluate(
+        InferenceConfig(
+            source_image_path=img_file, target_image_path=img_file,
+            output_path=tmp_path / "e0", n_steps=2, strength=0.6,
+            guidance_scale=4.0, n_noise=1, image_size=32, use_lcm=True,
+            seed=7, validation_images_path=None,
+        ),
+        r1.adversarial_image, **kw,
+    )
+    a = np.asarray(Image.open(sorted((tmp_path / "nbat").glob("*.png"))[0]))
+    b = np.asarray(Image.open(sorted((tmp_path / "e0").glob("*.png"))[0]))
+    assert not np.array_equal(a, b)
+
+
 def test_transfer_perturbation_matches_reference_semantics():
     rng = np.random.default_rng(1)
     orig = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)

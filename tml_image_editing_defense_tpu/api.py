@@ -107,7 +107,8 @@ def immunize(
     elif cfg.add_image_caption_to_prompts:
         from tml_image_editing_defense_tpu.aux_models.caption import get_image_caption
 
-        caption = get_image_caption(Image.open(cfg.source_image_path).convert("RGB"))
+        caption = get_image_caption(Image.open(cfg.source_image_path).convert("RGB"),
+                                    model_path=cfg.caption_model_path)
     if caption:
         print(f"Running with prefix: {caption}")
 
@@ -116,10 +117,13 @@ def immunize(
     if cfg.use_segmentation_mask:
         from tml_image_editing_defense_tpu.aux_models.segment import get_salient_mask
 
-        m = get_salient_mask(cfg.source_image_path, cfg.image_size)     # [H,W] {0,1}
+        m = get_salient_mask(cfg.source_image_path, cfg.image_size,
+                             model_path=cfg.segmentation_model_path)    # [H,W] {0,1}
         mask = jnp.asarray(m, dtype)[None, :, :, None]
 
-    bank = model.embed_prompt_bank([format_prompt(p, caption) for p in cfg.prompts])
+    bank = model.embed_prompt_bank(
+        [format_prompt(p, caption) for p in cfg.prompts], cfg.negative_prompt
+    )
 
     lat_shape = model.latent_shape
     noise_pool = make_noise_pool(ks.next(), max(cfg.n_noise, 1), lat_shape, dtype)
@@ -385,7 +389,7 @@ def evaluate(
     elif cfg.add_image_caption_to_prompts:
         from tml_image_editing_defense_tpu.aux_models.caption import get_image_caption
 
-        caption = get_image_caption(source_pil)
+        caption = get_image_caption(source_pil, model_path=cfg.caption_model_path)
 
     lat_shape = (1,) + model.latent_shape[1:]
     out_dir = Path(cfg.output_path)
@@ -423,6 +427,7 @@ def evaluate(
         out_adv_pil)] in cell order."""
         pair = pipeline._prepare_image([clean_img, adv_img])   # [2,H,W,3]
         sdxl_kw = dict(
+            negative_prompt=cfg.negative_prompt,
             denoising_end=cfg.denoising_end,
             aesthetic_score=cfg.aesthetic_score,
             negative_aesthetic_score=cfg.negative_aesthetic_score,

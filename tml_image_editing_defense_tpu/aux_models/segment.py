@@ -2,10 +2,15 @@
 perturbation to foreground regions, ``main.py:311-322``, applied on the L2
 branch at ``main.py:260-261``).
 
-Gated aux model: a local RMBG checkpoint runs on torch-cpu; without one, a
-deterministic gradient-energy saliency heuristic produces an approximate
-foreground mask so the masked-PGD code path stays usable offline (clearly an
-approximation — swap in the real model for production parity).
+Gated aux model: :func:`torch_salient_mask` runs a real torch
+``image-segmentation`` checkpoint (RMBG-1.4 by default, or any local
+segmentation model directory — see docs/AUX_MODELS.md for the offline
+checkpoint procedure); :func:`get_salient_mask` wraps it and degrades to a
+deterministic gradient-energy saliency heuristic when no checkpoint is
+reachable, so the masked-PGD code path stays usable offline (clearly an
+approximation — swap in the real model for production parity; measured
+IoU of the heuristic vs a known synthetic foreground is recorded in
+docs/AUX_MODELS.md).
 """
 
 from __future__ import annotations
@@ -32,7 +37,10 @@ def _heuristic_saliency(img: np.ndarray) -> np.ndarray:
     # smooth with a cheap box blur (three passes ≈ gaussian)
     k = max(3, energy.shape[0] // 32) | 1
     for _ in range(3):
+        # integral image with a zero top row/left column so the k×k box sum
+        # keeps the full H×W extent
         c = np.cumsum(np.cumsum(np.pad(energy, k // 2, mode="edge"), 0), 1)
+        c = np.pad(c, ((1, 0), (1, 0)))
         energy = (
             c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
         ) / (k * k)
@@ -43,6 +51,53 @@ def _heuristic_saliency(img: np.ndarray) -> np.ndarray:
     return (sal > sal.mean()).astype(np.float32)
 
 
+def _merge_pipeline_output(out, size: int) -> Image.Image:
+    """Normalize the two transformers segmentation output contracts to one
+    grayscale PIL mask.
+
+    - RMBG-1.4's custom pipeline (``trust_remote_code``) returns a single
+      PIL mask with ``return_mask=True`` (the reference call, main.py:317-320).
+    - Standard ``image-segmentation`` pipelines return ``[{label, score,
+      mask}, ...]`` — we take the union of every non-background segment.
+    """
+    if isinstance(out, Image.Image):
+        return out.convert("L")
+    if isinstance(out, list) and out and isinstance(out[0], dict):
+        fg = [d for d in out if str(d.get("label", "")).lower() != "background"]
+        fg = fg or out
+        acc = np.zeros((size, size), np.float32)
+        for d in fg:
+            m = np.asarray(resize_crop_pil(d["mask"].convert("L"), size), np.float32)
+            acc = np.maximum(acc, m)
+        return Image.fromarray(acc.astype(np.uint8), mode="L")
+    raise TypeError(f"unrecognized segmentation pipeline output: {type(out)}")
+
+
+def torch_salient_mask(
+    image_path: Union[str, Path],
+    size: int = 512,
+    model_path: Optional[str] = None,
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Real torch segmentation path (raises if the checkpoint is missing).
+
+    ``model_path``: local checkpoint directory; ``None`` resolves to the
+    reference's ``briaai/RMBG-1.4`` (needs network or a warm HF cache).
+    """
+    from transformers import pipeline as hf_pipeline
+
+    src = model_path or _DEFAULT_MODEL
+    pipe = hf_pipeline("image-segmentation", model=str(src), trust_remote_code=True,
+                       local_files_only=model_path is not None)
+    try:
+        out = pipe(str(image_path), return_mask=True)   # RMBG custom pipeline
+    except TypeError:
+        out = pipe(str(image_path))                     # standard pipeline
+    mask_img = _merge_pipeline_output(out, size)
+    mask = np.asarray(resize_crop_pil(mask_img, size), np.float32) / 255.0
+    return (mask > threshold).astype(np.float32)
+
+
 def get_salient_mask(
     image_path: Union[str, Path],
     size: int = 512,
@@ -51,17 +106,10 @@ def get_salient_mask(
 ) -> np.ndarray:
     """Foreground mask at ``[size, size]``, binarized at 0.5 like the
     reference (``main.py:320-321``).  Returns float32 {0,1} [H,W]."""
-    pil = resize_crop_pil(Image.open(image_path).convert("RGB"), size)
     try:
-        from transformers import pipeline as hf_pipeline
-
-        src = model_path or _DEFAULT_MODEL
-        pipe = hf_pipeline("image-segmentation", model=src, trust_remote_code=True,
-                           local_files_only=model_path is not None)
-        mask_img = pipe(str(image_path), return_mask=True)
-        mask = np.asarray(resize_crop_pil(mask_img.convert("L"), size), np.float32) / 255.0
-        return (mask > threshold).astype(np.float32)
+        return torch_salient_mask(image_path, size, model_path, threshold)
     except Exception as e:
         print(f"[aux.segment] RMBG unavailable ({type(e).__name__}); using heuristic saliency")
+        pil = resize_crop_pil(Image.open(image_path).convert("RGB"), size)
         arr = np.asarray(pil, np.float32) / 255.0
         return _heuristic_saliency(arr)

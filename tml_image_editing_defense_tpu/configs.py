@@ -161,6 +161,11 @@ class TrainConfig:
 
     # --- EOT distribution (configs.py:114-117) ---
     prompts: List[str] = field(default_factory=lambda: list(PROMPTS_LIST))
+    #: CFG negative prompt shared by every EOT sample.  The reference defines
+    #: NEGATIVE_PROMPT (configs.py:83) but leaves it commented out at each
+    #: call site, so the parity default is "" — pass
+    #: ``negative_prompt=NEGATIVE_PROMPT`` to switch it on.
+    negative_prompt: str = ""
 
     # --- PGD hyperparameters (configs.py:119-135) ---
     norm_type: str = "l2"                 # "l2" | "linf"
@@ -177,6 +182,10 @@ class TrainConfig:
     use_segmentation_mask: bool = False
     use_fixed_noise: bool = True
     n_noise: int = 1
+    #: Local checkpoint directories for the gated aux models (None → the
+    #: reference HF ids, which need network/warm cache; docs/AUX_MODELS.md).
+    caption_model_path: Optional[str] = None
+    segmentation_model_path: Optional[str] = None
 
     # --- visualization (configs.py:145-146) ---
     image_visualization_interval: int = 25
@@ -259,6 +268,11 @@ class InferenceConfig:
     add_image_caption_to_prompts: bool = False
     use_fixed_noise: bool = True
     n_noise: int = 1
+    #: CFG negative prompt for every evaluation edit (reference keeps its
+    #: NEGATIVE_PROMPT bank commented out — default "" is parity).
+    negative_prompt: str = ""
+    #: Local BLIP-2 checkpoint directory (None → reference HF id).
+    caption_model_path: Optional[str] = None
     validation_images_path: Optional[Path] = Path("validation_images.txt")
 
     # --- model selection ---
