@@ -70,6 +70,13 @@ def main():
                                         bank, pool)
                 step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
                 t0 = time.time()
+                compiled = step.lower(model.params, src, data,
+                                      jax.random.key(3)).compile()
+                try:
+                    ma = compiled.memory_analysis()
+                    temp_gb = round(ma.temp_size_in_bytes / 2**30, 2)
+                except Exception:
+                    temp_gb = None
                 x, aux = step(model.params, src, data, jax.random.key(3))
                 jax.block_until_ready(x)
                 compile_s = time.time() - t0
@@ -84,6 +91,7 @@ def main():
                            s_per_step=round(min(ts), 4),
                            compile_s=round(compile_s, 1),
                            loss=round(float(aux["avg_loss"]), 2),
+                           xla_temp_gb=temp_gb,
                            peak_hbm_gb=round(mem.get("peak_bytes_in_use", 0) / 2**30, 2))
                 print(json.dumps(rec), flush=True)
                 log(f"policy={policy} chunk={chunk}: {min(ts):.3f} s/step "

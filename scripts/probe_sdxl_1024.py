@@ -60,7 +60,10 @@ def main():
     ).astype(dtype)
 
     # ---- 1. eval edit (inference only, LCM-4 like run_all.py:69-93) -------
+    import os as _os
     try:
+        if _os.environ.get("PROBE_SKIP_EVAL"):
+            raise RuntimeError("skipped (PROBE_SKIP_EVAL)")
         pipe = Img2ImgPipeline(xl, sampler="lcm", dtype=dtype)
         t0 = time.time()
         out = pipe("a photo of a lake, detailed", src, num_inference_steps=4,
@@ -91,41 +94,73 @@ def main():
     bank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
     pool = make_noise_pool(jax.random.key(3), 1, xl.latent_shape, dtype)
 
-    for policy in ("dots", "full"):
+    # The text encoders are only needed for the (precomputed) prompt bank —
+    # drop their ~1.6 GB of params from HBM before the big step programs.
+    params = {"unet": xl.params["unet"], "vae": xl.params["vae"]}
+    xl.params.pop("text", None)
+
+    # Fit strategy (measured via /tmp bisects, docs/PERF.md): the whole-step
+    # fwd+bwd at 1024² exceeds 16 GB HBM unless (a) attention never
+    # materializes its score matrices (attn_kv_chunk, auto-on at 1024²),
+    # (b) the VAE encode/decode are checkpointed (remat_vae), and (c) the
+    # denoise scan uses full remat.  The "HTTP 500 helper crash" round 1
+    # recorded was an HBM OOM surfaced badly by the AOT compile helper.
+    variants = [
+        ("full_latent_r10", dict(apply_loss_on_images=False,
+                                 apply_loss_on_latents=True,
+                                 perturbation_loss_lambda=0.0)),
+        ("full_image_r10", dict()),   # the reference L2 config
+    ]
+    for name, extra in variants:
         try:
             cfg = TrainConfig(
                 norm_type="l2", n_denoising_steps_per_iteration=4,
                 limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
                 use_sdxl=True, image_size=1024, dtype="bfloat16",
-                eot_mode="scan", remat_policy=policy, prompts=list(PROMPTS_LIST),
+                eot_mode="scan", remat_policy="full", prompts=list(PROMPTS_LIST),
+                unroll_denoise=False, remat_vae=True, **extra,
             )
             data = make_attack_data(xl, cfg, src, jnp.zeros_like(src), bank, pool)
             step = jax.jit(make_pgd_step(xl, sampler, plan, cfg))
             t0 = time.time()
-            x1, aux = step(xl.params, src, data, jax.random.key(4))
+            # AOT compile so XLA's own memory analysis is available (the
+            # axon runtime does not expose device memory_stats)
+            compiled = step.lower(params, src, data, jax.random.key(4)).compile()
+            mem_an = {}
+            try:
+                ma = compiled.memory_analysis()
+                mem_an = {
+                    "xla_temp_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+                    "xla_argument_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+                    "xla_output_gb": round(ma.output_size_in_bytes / 2**30, 2),
+                }
+            except Exception:
+                pass
+            x1, aux = step(params, src, data, jax.random.key(4))
             jax.block_until_ready(x1)
             compile_s = time.time() - t0
-            log(f"[{policy}] compile+first {compile_s:.1f}s "
+            log(f"[{name}] compile+first {compile_s:.1f}s "
                 f"(loss {float(aux['avg_loss']):.1f})")
             ts, x = [], x1
             for i in range(2):
                 t0 = time.time()
-                x, aux = step(xl.params, x, data, jax.random.key(100 + i))
+                x, aux = step(params, x, data, jax.random.key(100 + i))
                 jax.block_until_ready(x)
                 ts.append(time.time() - t0)
             mem = device_memory_stats(dev)
-            emit(probe=f"sdxl_1024_pgd_step_{policy}",
+            emit(probe=f"sdxl_1024_pgd_step_{name}",
                  s_per_step=round(min(ts), 3),
                  s_per_250step_image=round(250 * min(ts), 1),
                  compile_s=round(compile_s, 1),
                  peak_hbm_gb=round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
-                 hbm_limit_gb=round(mem.get("bytes_limit", 0) / 2**30, 2))
-            log(f"[{policy}] {min(ts):.3f} s/step, peak HBM "
+                 hbm_limit_gb=round(mem.get("bytes_limit", 0) / 2**30, 2),
+                 **mem_an)
+            log(f"[{name}] {min(ts):.3f} s/step, peak HBM "
                 f"{mem.get('peak_bytes_in_use', 0) / 2**30:.2f} GB")
         except Exception as e:
-            emit(probe=f"sdxl_1024_pgd_step_{policy}",
+            emit(probe=f"sdxl_1024_pgd_step_{name}",
                  error=f"{type(e).__name__}: {str(e)[:300]}")
-            log(f"[{policy}] FAILED: {type(e).__name__}: {str(e)[:300]}")
+            log(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":

@@ -117,3 +117,50 @@ def test_sd15_configs_importable():
     n_params = sum(np.prod(s.shape) for s in jax.tree.leaves(shapes))
     # SDXL UNet ≈ 2.57B params
     assert 2.4e9 < n_params < 2.75e9, n_params
+
+
+def test_chunked_attention_matches_fused():
+    """KV-chunked online-softmax attention (the 1024² HBM enabler) must
+    reproduce the fused kernel's values AND gradients, including ragged
+    last chunks and bf16 inputs."""
+    from tml_image_editing_defense_tpu.models.layers import (
+        _chunked_attention,
+        _remat_attention,
+    )
+
+    key = jax.random.key(0)
+    for b, t, s, h, d, chunk, dt in [
+        (2, 64, 64, 4, 16, 16, jnp.float32),
+        (1, 100, 100, 1, 32, 24, jnp.float32),   # 100 % 24 != 0: pad path
+        (2, 64, 77, 4, 16, 32, jnp.bfloat16),
+    ]:
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, t, h, d), dt)
+        k = jax.random.normal(kk, (b, s, h, d), dt)
+        v = jax.random.normal(kv, (b, s, h, d), dt)
+        ref = _remat_attention(q, k, v, None)
+        out = _chunked_attention(q, k, v, chunk)
+        tol = 2e-2 if dt == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=tol, atol=tol)
+        gr = jax.grad(
+            lambda q_: _remat_attention(q_, k, v, None).astype(jnp.float32).sum())(q)
+        gc = jax.grad(
+            lambda q_: _chunked_attention(q_, k, v, chunk).astype(jnp.float32).sum())(q)
+        np.testing.assert_allclose(
+            np.asarray(gc, np.float32), np.asarray(gr, np.float32),
+            rtol=tol * 5, atol=tol * 5)
+
+
+def test_attn_kv_chunk_builds_equivalent_model():
+    """A model built with attn_kv_chunk set computes the same UNet output
+    (the chunked path is a pure implementation detail)."""
+    m1 = build_model("tiny", key=jax.random.key(0))
+    m2 = build_model("tiny", key=jax.random.key(0), attn_kv_chunk=8)
+    lat = jax.random.normal(jax.random.key(2), (2,) + m1.latent_shape[1:])
+    ctx = jax.random.normal(jax.random.key(3), (2, 77, 32))
+    t = jnp.asarray(5, jnp.int32)
+    o1 = m1.apply_unet(m1.params["unet"], lat, t, ctx)
+    o2 = m2.apply_unet(m1.params["unet"], lat, t, ctx)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)

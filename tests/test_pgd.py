@@ -206,6 +206,38 @@ def test_pgd_eot_chunked_matches_sequential(tiny_setup):
             model.params, source, data, k)
 
 
+def test_remat_policies_equivalent(tiny_setup):
+    """All remat policies recompute-vs-save schedules of the SAME backward:
+    gradients (and thus the PGD iterate) must match bitwise-ish across
+    "none"/"full"/"dots"/"conv_dots"; unknown names must raise."""
+    import dataclasses
+
+    model, cfg, sampler, plan, data, source = tiny_setup
+    k = jax.random.key(31)
+    ref, a_ref = jax.jit(make_pgd_step(model, sampler, plan, cfg))(
+        model.params, source, data, k)
+    for policy in ("full", "dots", "conv_dots"):
+        cfg_p = dataclasses.replace(cfg, remat_policy=policy)
+        x, a = jax.jit(make_pgd_step(model, sampler, plan, cfg_p))(
+            model.params, source, data, k)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(ref), rtol=2e-4, atol=2e-6, err_msg=policy)
+        np.testing.assert_allclose(
+            float(a["avg_loss"]), float(a_ref["avg_loss"]), rtol=2e-4)
+
+    # remat_vae checkpoints the shared VAE encode + per-rep decode: same
+    # backward, different recompute schedule → identical results
+    cfg_rv = dataclasses.replace(cfg, remat_vae=True)
+    x, a = jax.jit(make_pgd_step(model, sampler, plan, cfg_rv))(
+        model.params, source, data, k)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(ref), rtol=2e-4, atol=2e-6, err_msg="remat_vae")
+
+    from tml_image_editing_defense_tpu.attack.forward import apply_remat
+    with pytest.raises(ValueError, match="remat_policy"):
+        apply_remat(lambda s, x: (s, None), "bogus")
+
+
 def test_pgd_loop_scan_matches_python_loop(tiny_setup):
     model, cfg, sampler, plan, data, source = tiny_setup
     loop = jax.jit(make_pgd_loop(model, sampler, plan, cfg, n_steps=3))

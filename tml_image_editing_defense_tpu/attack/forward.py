@@ -71,6 +71,48 @@ def select_cond(bank_embeds, bank_uncond, prompt_idx, bank_pooled=None,
     return CondInputs(ctx=ctx, text_embeds=te, time_ids=time_ids)
 
 
+def _convs_saveable(prim, *_, **__) -> bool:
+    """Checkpoint-policy predicate: save convolution outputs.
+
+    ``checkpoint_dots_with_no_batch_dims`` saves only ``dot_general`` results;
+    convolutions are a *different* primitive, so under the "dots" policy every
+    conv in the UNet/VAE — ~75% of step time per the round-1 profile — is
+    recomputed during the backward pass.  Saving conv outputs trades HBM for
+    that recompute.
+    """
+    return prim is not None and getattr(prim, "name", "") == "conv_general_dilated"
+
+
+_REMAT_POLICIES = {
+    # recompute everything inside the step body (lowest memory)
+    "full": lambda body: jax.checkpoint(body),
+    # save unbatched matmul outputs (time-embed / attention projections)
+    "dots": lambda body: jax.checkpoint(
+        body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    ),
+    # save conv outputs too — the conv-dominated models recompute far less
+    "conv_dots": lambda body: jax.checkpoint(
+        body,
+        policy=jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            _convs_saveable,
+        ),
+    ),
+    # no checkpoint: autodiff saves whatever it needs (highest memory)
+    "none": lambda body: body,
+}
+
+
+def apply_remat(body, remat_policy: str):
+    """Wrap a scan body according to ``cfg.remat_policy``."""
+    try:
+        return _REMAT_POLICIES[remat_policy](body)
+    except KeyError:
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}; have {sorted(_REMAT_POLICIES)}"
+        ) from None
+
+
 def denoise_chain(
     model: DiffusionModel,
     sampler: BaseSampler,
@@ -81,6 +123,7 @@ def denoise_chain(
     guidance_scale: float,
     key: jax.Array,
     remat_policy: str = "full",
+    unroll: "bool | None" = None,
 ) -> jnp.ndarray:
     """K CFG denoising steps as one scan (reference loop ``main.py:229-243``)."""
     if plan.num_steps == 0:
@@ -104,17 +147,15 @@ def denoise_chain(
         x, carry = sampler.step(plan, i, carry, guided, x, k)
         return (x, carry), None
 
-    if remat_policy == "full":
-        body = jax.checkpoint(body)
-    elif remat_policy == "dots":
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
-        )
+    body = apply_remat(body, remat_policy)
     carry0 = sampler.init_carry(latents.shape, latents.dtype)
     # Short training chains (LCM K≤4) unroll: kills the while-loop overhead
     # and the stacked scan residuals; measured ~1.4% faster on v5e @512².
-    # Long evaluation chains (PLMS-50) stay rolled to bound program size.
-    unroll = plan.num_steps <= 4
+    # Long evaluation chains (PLMS-50) stay rolled to bound program size;
+    # ``unroll=False`` (cfg.unroll_denoise) also keeps huge-program configs
+    # (SDXL 1024² fwd+bwd) within the compiler's reach.
+    if unroll is None:
+        unroll = plan.num_steps <= 4
     (x, _), _ = jax.lax.scan(
         body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys),
         unroll=unroll,
@@ -133,6 +174,7 @@ def attack_forward_from_latent(
     guidance_scale: float,
     key: jax.Array,
     remat_policy: str = "full",
+    unroll: "bool | None" = None,
 ) -> jnp.ndarray:
     """Post-encode tail of the editing chain: noise-add → K-step denoise →
     unscale (reference main.py:194-245).  Split out so the EOT loop can share
@@ -140,7 +182,8 @@ def attack_forward_from_latent(
     main.py:191 recomputes it every rep)."""
     x = sampler.add_noise(plan, z_scaled, init_noise)         # main.py:216
     x = denoise_chain(
-        model, sampler, plan, params, x, cond, guidance_scale, key, remat_policy
+        model, sampler, plan, params, x, cond, guidance_scale, key, remat_policy,
+        unroll=unroll,
     )
     return x / model.vae_scaling                              # main.py:245
 
@@ -156,6 +199,7 @@ def attack_forward(
     guidance_scale: float,
     key: jax.Array,
     remat_policy: str = "full",
+    unroll: "bool | None" = None,
 ) -> jnp.ndarray:
     """image → *unscaled* output latent (reference main.py:179-246, which
     returns ``latents / 0.18215`` at :245)."""
@@ -163,5 +207,5 @@ def attack_forward(
     z = model.encode_image(params["vae"], image, key=k_vae)   # scaled (main.py:191)
     return attack_forward_from_latent(
         model, sampler, plan, params, z, cond, init_noise,
-        guidance_scale, k_chain, remat_policy,
+        guidance_scale, k_chain, remat_policy, unroll=unroll,
     )

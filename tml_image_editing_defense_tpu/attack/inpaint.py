@@ -72,12 +72,9 @@ def inpaint_attack_forward(
         x, carry = sampler.step(plan, i, carry, guided, x, k)
         return (x, carry), None
 
-    if remat_policy == "full":
-        body = jax.checkpoint(body)
-    elif remat_policy == "dots":
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
-        )
+    from tml_image_editing_defense_tpu.attack.forward import apply_remat
+
+    body = apply_remat(body, remat_policy)
     carry0 = sampler.init_carry(latents.shape, latents.dtype)
     (x, _), _ = jax.lax.scan(
         body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys)

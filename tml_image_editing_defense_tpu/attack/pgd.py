@@ -181,8 +181,15 @@ def _rep_loss_fn(
         out_latent = attack_forward(
             model, sampler, plan, params, x_adv, cond, noise,
             cfg.guidance_scale, k_fwd, cfg.remat_policy,
+            unroll=getattr(cfg, "unroll_denoise", None),
         )
-        output_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+
+        def decode(z):
+            return model.decode_latent(params["vae"], z, scaled=False)
+
+        if getattr(cfg, "remat_vae", False):
+            decode = jax.checkpoint(decode)
+        output_image = decode(out_latent)
         if cfg.apply_loss_on_images:
             rec = lp_distance(output_image, data.target, 2)
         elif cfg.apply_loss_on_latents:
@@ -231,14 +238,18 @@ def _rep_loss_from_dist(
         out_latent = attack_forward_from_latent(
             model, sampler, plan, params, z, cond, noise,
             cfg.guidance_scale, k_chain, cfg.remat_policy,
+            unroll=getattr(cfg, "unroll_denoise", None),
         )
         # decode only when a loss term needs pixels; the visualization image
         # is reconstructed from the (small) carried latent after the rep loop
         need_pixels = cfg.apply_loss_on_images or cfg.perturbation_loss_lambda > 0
-        output_image = (
-            model.decode_latent(params["vae"], out_latent, scaled=False)
-            if need_pixels else None
-        )
+
+        def decode(z):
+            return model.decode_latent(params["vae"], z, scaled=False)
+
+        if getattr(cfg, "remat_vae", False):
+            decode = jax.checkpoint(decode)
+        output_image = decode(out_latent) if need_pixels else None
         if cfg.apply_loss_on_images:
             rec = lp_distance(output_image, data.target, 2)
         elif cfg.apply_loss_on_latents:
@@ -286,6 +297,10 @@ def make_eot_grad(
                 {"params": params["vae"]}, x, method=AutoencoderKL.encode
             )
 
+        if getattr(cfg, "remat_vae", False):
+            # recompute the encoder forward in the backward pass instead of
+            # saving its conv activations (258 MB each at 1024²)
+            encode = jax.checkpoint(encode)
         dist, vjp_fn = jax.vjp(encode, x_adv)
 
         if cfg.eot_mode == "vmap":

@@ -214,9 +214,22 @@ class TrainConfig:
     #: grad_reps.
     eot_chunk: int = 1
     #: Rematerialization policy for the denoising scan body:
-    #: "full" (checkpoint everything), "dots" (save matmul outputs), "none".
-    #: "dots" measured ~17% faster than "full" on v5e at 512² (fits HBM).
+    #: What the backward pass recomputes inside each denoise step:
+    #: "full" (checkpoint everything), "dots" (save unbatched matmul
+    #: outputs), "conv_dots" (save conv outputs too — these models are
+    #: conv-dominated, so this trades HBM for most of the recompute),
+    #: "none" (no checkpoint).  Measured on v5e @512²: full 2.95 →
+    #: dots 2.66 s/step; see docs/PERF.md for the conv_dots/none sweep.
     remat_policy: str = "dots"
+    #: Unroll the K-step denoise scan inside the jit (None = auto: unroll
+    #: when K≤4, ~1.4% faster; False keeps huge programs — SDXL 1024²
+    #: fwd+bwd — within the compiler's reach).
+    unroll_denoise: Optional[bool] = None
+    #: Checkpoint the VAE encode/decode inside the EOT gradient: their
+    #: forward activations (~1.2 GB of encoder conv outputs at 1024²) are
+    #: recomputed in the backward instead of saved.  Required (with
+    #: attn_kv_chunk) to fit SDXL 1024² fwd+bwd in one chip's HBM.
+    remat_vae: bool = False
     #: Use the fused Pallas perturbation-update kernels on TPU (ops/).
     use_pallas_update: bool = True
     #: Run host visualization callbacks (device→host sync) at vis intervals.

@@ -103,6 +103,66 @@ def _remat_attention(q, k, v, mask):
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
+def _chunked_attention(q, k, v, kv_chunk: int):
+    """Online-softmax attention over KV chunks (the FlashAttention
+    recurrence, in pure jax) — the [B,H,T,S] score matrix is NEVER
+    materialized, not even transiently in the backward pass.
+
+    Remat'd fused attention still peaks at the full score matrix during the
+    backward recompute: f32[2,10,4096,4096] = 1.25 GB per SDXL 64²-token
+    layer, and 1 GB for the VAE's 16384-token mid attention at 1024² — the
+    allocations that pushed the SDXL 1024² fwd+bwd program over v5e HBM.
+    Here each scan step touches only a [B,T,H,C] slab (C = ``kv_chunk``)
+    and the checkpointed body recomputes it per chunk in the backward.
+
+    Numerics: logits and accumulators in f32 (matching the fused kernel's
+    f32 softmax), output cast back to the query dtype.
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    n = -(-s // kv_chunk)
+    pad = n * kv_chunk - s
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kc = jnp.moveaxis(k.reshape(b, n, kv_chunk, h, d), 1, 0)   # [n,B,C,H,D]
+    vc = jnp.moveaxis(v.reshape(b, n, kv_chunk, h, d), 1, 0)
+    # validity of each (chunk, position): only the last chunk is ever padded
+    valid = jnp.arange(n * kv_chunk).reshape(n, kv_chunk) < s  # [n,C]
+    scale = 1.0 / math.sqrt(d)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        m, l, acc = carry                                      # f32 running stats
+        kcb, vcb, ok = xs
+        logits = (
+            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
+        )
+        logits = jnp.where(ok[None, None, None, :], logits, -1e30)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bthc,bchd->bthd", p.astype(vcb.dtype), vcb
+        ).astype(jnp.float32)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, t, h), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, t, h), jnp.float32)
+    acc0 = jnp.zeros((b, t, h, d), jnp.float32)
+    (_, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, valid))
+    return (acc / l[..., None]).astype(q.dtype)
+
+
+def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
+    """Attention dispatcher: chunked online-softmax when ``kv_chunk`` is set
+    and the KV axis is long enough to matter; XLA's fused path otherwise."""
+    if kv_chunk and mask is None and k.shape[1] > kv_chunk:
+        return _chunked_attention(q, k, v, kv_chunk)
+    return _remat_attention(q, k, v, mask)
+
+
 class Attention(nn.Module):
     """Multi-head attention over flattened spatial tokens (self or cross).
 
@@ -115,6 +175,7 @@ class Attention(nn.Module):
     cross_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     out_dim: Optional[int] = None
+    kv_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None, mask=None):
@@ -129,7 +190,7 @@ class Attention(nn.Module):
         q = q.reshape(b, t, self.heads, self.dim_head)
         k = k.reshape(b, s, self.heads, self.dim_head)
         v = v.reshape(b, s, self.heads, self.dim_head)
-        o = _remat_attention(q, k, v, mask)
+        o = scaled_attention(q, k, v, mask, kv_chunk=self.kv_chunk)
         o = o.reshape(b, t, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(o)
 
@@ -157,14 +218,17 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     cross_dim: int
     dtype: jnp.dtype = jnp.float32
+    kv_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(h)
+        x = x + Attention(self.heads, self.dim_head, dtype=self.dtype,
+                          kv_chunk=self.kv_chunk, name="attn1")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
-            self.heads, self.dim_head, cross_dim=self.cross_dim, dtype=self.dtype, name="attn2"
+            self.heads, self.dim_head, cross_dim=self.cross_dim, dtype=self.dtype,
+            kv_chunk=self.kv_chunk, name="attn2"
         )(h, context)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
@@ -182,6 +246,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
+    kv_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -197,7 +262,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, self.cross_dim, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
+                kv_chunk=self.kv_chunk, name=f"transformer_blocks_{i}",
             )(x, context)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
@@ -237,6 +302,7 @@ class SelfAttentionBlock(nn.Module):
 
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    kv_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -247,7 +313,10 @@ class SelfAttentionBlock(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        o = _remat_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], None)
+        o = scaled_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], None,
+            kv_chunk=self.kv_chunk,
+        )
         o = o.reshape(b, h * w, c)
         o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o)
         return res + o.reshape(b, h, w, c)

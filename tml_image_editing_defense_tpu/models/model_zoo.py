@@ -189,9 +189,13 @@ def _fast_random_params(shapes_tree, seed: int, dtype) -> dict:
             arr = np.ones(shape, np.float32)
         elif name == "kernel":
             fan_in = int(np.prod(shape[:-1]))
-            arr = rng.normal(0.0, 1.0 / np.sqrt(max(fan_in, 1)), shape).astype(np.float32)
+            # draw natively in f32: float64 normals double the host time and
+            # memory for the 2.6B-param SDXL tree
+            arr = rng.standard_normal(shape, dtype=np.float32)
+            arr *= np.float32(1.0 / np.sqrt(max(fan_in, 1)))
         else:  # embeddings
-            arr = rng.normal(0.0, 0.02, shape).astype(np.float32)
+            arr = rng.standard_normal(shape, dtype=np.float32)
+            arr *= np.float32(0.02)
         out[path] = jnp.asarray(arr, dtype)
     return traverse_util.unflatten_dict(out)
 
@@ -245,6 +249,7 @@ def build_model(
     tokenizer_paths: Optional[Sequence] = None,
     fast_init: bool = False,
     vae_dtype=None,
+    attn_kv_chunk: "int | str | None" = "auto",
 ) -> DiffusionModel:
     """Construct a model bundle; random-init params unless given.
 
@@ -255,11 +260,23 @@ def build_model(
     ``vae_dtype`` lets the VAE run at a higher precision than the UNet — the
     TPU analog of the reference's fp32 VAE upcast for SDXL
     (``sdxl_img2img_pipeline.py:490-515``): UNet bf16 on the MXU, VAE f32.
+
+    ``attn_kv_chunk``: KV-chunked online-softmax attention (layers.py
+    ``_chunked_attention``).  "auto" enables chunk 1024 at image_size ≥ 1024
+    — the full score matrices (up to 1 GB each in f32) otherwise push the
+    fwd+bwd program out of single-chip HBM; ``None`` forces XLA's fused
+    attention; an int forces that chunk size.
     """
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
     unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
     image_size = image_size or native
+    if attn_kv_chunk == "auto":
+        attn_kv_chunk = 1024 if image_size >= 1024 else None
+    if attn_kv_chunk != unet_cfg.attn_kv_chunk:
+        unet_cfg = dataclasses.replace(unet_cfg, attn_kv_chunk=attn_kv_chunk)
+    if attn_kv_chunk != vae_cfg.attn_kv_chunk:
+        vae_cfg = dataclasses.replace(vae_cfg, attn_kv_chunk=attn_kv_chunk)
     if "sdxl" in family:
         base_family = "sdxl"
     elif family.startswith("sd15"):

@@ -50,6 +50,10 @@ class UNetConfig:
     addition_embed_type: Optional[str] = None
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
+    #: KV-chunked online-softmax attention when set (see layers.py
+    #: ``_chunked_attention``) — required to fit 1024² fwd+bwd in v5e HBM;
+    #: ``None`` keeps XLA's fused attention (faster at small resolutions).
+    attn_kv_chunk: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -181,6 +185,7 @@ class UNet2DCondition(nn.Module):
                         heads, out_ch // heads, cfg.cross_attention_dim,
                         depth=cfg.transformer_layers_per_block[i],
                         use_linear_projection=cfg.use_linear_projection,
+                        kv_chunk=cfg.attn_kv_chunk,
                         dtype=self.dtype, name=f"down_blocks_{i}_attentions_{j}",
                     )(h, ctx)
                 skips.append(h)
@@ -197,6 +202,7 @@ class UNet2DCondition(nn.Module):
                 mid_heads, mid_ch // mid_heads, cfg.cross_attention_dim,
                 depth=cfg.transformer_layers_per_block[-1],
                 use_linear_projection=cfg.use_linear_projection,
+                kv_chunk=cfg.attn_kv_chunk,
                 dtype=self.dtype, name="mid_block_attentions_0",
             )(h, ctx)
         h = ResnetBlock(mid_ch, dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
@@ -215,6 +221,7 @@ class UNet2DCondition(nn.Module):
                         heads, out_ch // heads, cfg.cross_attention_dim,
                         depth=cfg.transformer_layers_per_block[level],
                         use_linear_projection=cfg.use_linear_projection,
+                        kv_chunk=cfg.attn_kv_chunk,
                         dtype=self.dtype, name=f"up_blocks_{i}_attentions_{j}",
                     )(h, ctx)
             if i < n_blocks - 1:

@@ -29,6 +29,9 @@ class VAEConfig:
     norm_groups: int = 32
     #: latent scaling factor: 0.18215 (SD-1.5, main.py:191) / 0.13025 (SDXL)
     scaling_factor: float = 0.18215
+    #: KV-chunked attention for the mid-block (16384 tokens at 1024² — the
+    #: full score matrix is 1 GB in f32); ``None`` = XLA fused attention.
+    attn_kv_chunk: "int | None" = None
 
 
 SD_VAE = VAEConfig()
@@ -69,7 +72,7 @@ class Encoder(nn.Module):
                 h = _VAEDownsample(out_ch, dtype=self.dtype, name=f"down_blocks_{i}_downsamplers_0")(h)
         mid = cfg.block_out_channels[-1]
         h = ResnetBlock(mid, use_time_emb=False, groups=g, dtype=self.dtype, name="mid_block_resnets_0")(h)
-        h = SelfAttentionBlock(groups=g, dtype=self.dtype, name="mid_block_attentions_0")(h)
+        h = SelfAttentionBlock(groups=g, kv_chunk=cfg.attn_kv_chunk, dtype=self.dtype, name="mid_block_attentions_0")(h)
         h = ResnetBlock(mid, use_time_emb=False, groups=g, dtype=self.dtype, name="mid_block_resnets_1")(h)
         h = nn.GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
@@ -87,7 +90,7 @@ class Decoder(nn.Module):
         mid = cfg.block_out_channels[-1]
         h = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(mid, use_time_emb=False, groups=g, dtype=self.dtype, name="mid_block_resnets_0")(h)
-        h = SelfAttentionBlock(groups=g, dtype=self.dtype, name="mid_block_attentions_0")(h)
+        h = SelfAttentionBlock(groups=g, kv_chunk=cfg.attn_kv_chunk, dtype=self.dtype, name="mid_block_attentions_0")(h)
         h = ResnetBlock(mid, use_time_emb=False, groups=g, dtype=self.dtype, name="mid_block_resnets_1")(h)
         rev = list(reversed(cfg.block_out_channels))
         for i, out_ch in enumerate(rev):
