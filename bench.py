@@ -113,7 +113,7 @@ def main() -> None:
             image_size=512,
             dtype="bfloat16",
             eot_mode="scan",
-            remat_policy="dots",
+            remat_policy="none",   # sweep winner: 2.42 s/step vs dots 2.66
             prompts=list(PROMPTS_LIST),
         )
         sampler = LCMSampler(model.schedule)

@@ -1,0 +1,97 @@
+"""Measure the evaluation edit dispatch on the real chip.
+
+VERDICT r1 weak #6: sequential (clean, adv) double-edits made a 19-prompt
+evaluation of one image cost ≈40 s at PLMS-50.  Round 2 batches all
+(prompt × noise) cells into one vmapped ``edit_pairs`` dispatch
+(api.evaluate ``batch_edits=True``); this script measures both modes with
+the same pair contract (reference loop: main.py:469-521).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/measure_eval_throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from tml_image_editing_defense_tpu.configs import INFERENCE_PROMPTS
+    from tml_image_editing_defense_tpu.models import build_model
+    from tml_image_editing_defense_tpu.pipelines.img2img import Img2ImgPipeline
+
+    dtype = jnp.float32   # the reference's inference precision
+    model = build_model("sd15", key=jax.random.key(0), dtype=dtype, fast_init=True)
+    pipe = Img2ImgPipeline(model, sampler="plms", dtype=dtype)
+    clean = jnp.clip(
+        jax.random.normal(jax.random.key(1), (512, 512, 3), jnp.float32) * 0.4,
+        -1, 1,
+    )
+    adv = jnp.clip(clean + 0.05, -1, 1)
+    pair = pipe._prepare_image([clean, adv])                # [2,H,W,3]
+    lat_shape = model.latent_shape
+    prompts = [p + ", detailed" for p in INFERENCE_PROMPTS]
+    n = len(prompts)
+    keys = jax.random.split(jax.random.key(3), n)
+    pair_noises = jnp.stack([
+        jax.random.normal(jax.random.key(100 + i), (2,) + lat_shape[1:], dtype)
+        for i in range(n)
+    ])
+    log(f"{n} prompts, PLMS-50, 512², f32")
+
+    def run_batched(seed):
+        return pipe.edit_pairs(
+            prompts=prompts,
+            pair_images=jnp.broadcast_to(pair, (n,) + pair.shape),
+            pair_noises=pair_noises,
+            keys=jax.random.split(jax.random.key(seed), n),
+            num_inference_steps=50, guidance_scale=7.5, strength=0.6,
+        )
+
+    t0 = time.time()
+    out = run_batched(3)
+    jax.block_until_ready(out)
+    log(f"batched compile+first: {time.time() - t0:.1f}s")
+    ts = []
+    for i in range(2):
+        t0 = time.time()
+        out = run_batched(10 + i)
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    batched_s = min(ts)
+    log(f"batched {n}-prompt eval: {batched_s:.2f}s ({batched_s / n:.3f} s/pair)")
+
+    # -- sequential: one dispatch per prompt (round-1 behavior) ------------
+    o = pipe(prompts[0], [clean, adv], num_inference_steps=50,
+             guidance_scale=7.5, strength=0.6, noise=pair_noises[0],
+             key=keys[0], output_type="array")
+    jax.block_until_ready(o)
+    t0 = time.time()
+    for i, p in enumerate(prompts):
+        o = pipe(p, [clean, adv], num_inference_steps=50, guidance_scale=7.5,
+                 strength=0.6, noise=pair_noises[i], key=keys[i],
+                 output_type="array")
+    jax.block_until_ready(o)
+    seq_s = time.time() - t0
+    log(f"sequential {n}-prompt eval: {seq_s:.2f}s")
+
+    print(json.dumps({
+        "eval_19prompt_batched_s": round(batched_s, 2),
+        "eval_19prompt_sequential_s": round(seq_s, 2),
+        "speedup": round(seq_s / batched_s, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -215,12 +215,13 @@ class TrainConfig:
     eot_chunk: int = 1
     #: Rematerialization policy for the denoising scan body:
     #: What the backward pass recomputes inside each denoise step:
-    #: "full" (checkpoint everything), "dots" (save unbatched matmul
-    #: outputs), "conv_dots" (save conv outputs too — these models are
-    #: conv-dominated, so this trades HBM for most of the recompute),
-    #: "none" (no checkpoint).  Measured on v5e @512²: full 2.95 →
-    #: dots 2.66 s/step; see docs/PERF.md for the conv_dots/none sweep.
-    remat_policy: str = "dots"
+    #: "none" (no checkpoint — attention is always internally remat'd, so
+    #: this saves conv/dense outputs only: 5.9 GB temp at SD-1.5 512²),
+    #: "dots" (save unbatched matmul outputs), "conv_dots" (save conv
+    #: outputs too), "full" (recompute everything — required at SDXL 1024²).
+    #: Measured on v5e @512² SD-1.5: full 2.95 → dots 2.66 → none 2.42
+    #: s/step (docs/PERF.md).
+    remat_policy: str = "none"
     #: Unroll the K-step denoise scan inside the jit (None = auto: unroll
     #: when K≤4, ~1.4% faster; False keeps huge programs — SDXL 1024²
     #: fwd+bwd — within the compiler's reach).
