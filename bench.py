@@ -174,7 +174,7 @@ def main() -> None:
             log(f"diffusion MFU: {diff_mfu:.1%} "
                 f"({step_flops/1e12:.1f} model TFLOPs / step)")
         # encoder attack MFU: per PGD step = encode fwd+bwd at batch 8
-        enc_step_flops = F.training_flops(8 * enc)
+        enc_step_flops = F.input_grad_flops(8 * enc)
         enc_mfu = F.mfu(enc_step_flops * n_enc_steps, enc_s_per_image * 8)
         if enc_mfu is not None:
             extras["encoder_mfu"] = round(enc_mfu, 4)

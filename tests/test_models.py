@@ -153,9 +153,14 @@ def test_chunked_attention_matches_fused():
             rtol=tol * 5, atol=tol * 5)
 
 
-def test_attn_kv_chunk_builds_equivalent_model():
+def test_attn_kv_chunk_builds_equivalent_model(monkeypatch):
     """A model built with attn_kv_chunk set computes the same UNet output
-    (the chunked path is a pure implementation detail)."""
+    (the chunked path is a pure implementation detail).  The dispatch floor
+    is lowered so the tiny model's 64-token self-attention actually takes
+    the chunked path."""
+    from tml_image_editing_defense_tpu.models import layers
+
+    monkeypatch.setattr(layers, "MIN_CHUNKED_SEQ", 16)
     m1 = build_model("tiny", key=jax.random.key(0))
     m2 = build_model("tiny", key=jax.random.key(0), attn_kv_chunk=8)
     lat = jax.random.normal(jax.random.key(2), (2,) + m1.latent_shape[1:])
@@ -164,3 +169,10 @@ def test_attn_kv_chunk_builds_equivalent_model():
     o1 = m1.apply_unet(m1.params["unet"], lat, t, ctx)
     o2 = m2.apply_unet(m1.params["unet"], lat, t, ctx)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+    # sanity: the chunked path was actually taken (different jaxpr)
+    import jax as _jax
+    j1 = str(_jax.make_jaxpr(
+        lambda p, l: m1.apply_unet(p, l, t, ctx))(m1.params["unet"], lat))
+    j2 = str(_jax.make_jaxpr(
+        lambda p, l: m2.apply_unet(p, l, t, ctx))(m1.params["unet"], lat))
+    assert ("scan" in j2) and (j1 != j2)

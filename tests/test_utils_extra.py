@@ -131,4 +131,5 @@ def test_flops_counting_closed_form():
     assert F.count_fn_flops(scanned, jnp.zeros((16, 16))) == 5 * 2 * 16**3
 
     assert F.training_flops(10) == 30
+    assert F.input_grad_flops(10) == 20   # PGD: input gradient only, no dL/dW
     assert F.mfu(1e12, 1.0) is None or F.mfu(1e12, 1.0) <= 1.0  # CPU → None

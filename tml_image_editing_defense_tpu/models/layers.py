@@ -9,8 +9,11 @@ and up/down sampling.
 Design notes (TPU-first):
 - NHWC everywhere — TPU conv layouts are channels-last; boundary code
   transposes once at entry/exit.
-- Attention uses ``jax.nn.dot_product_attention`` so XLA picks the fused
-  flash path on the MXU.
+- Attention dispatches by sequence length (``scaled_attention``): short
+  sequences use XLA's fused ``jax.nn.dot_product_attention``; long ones
+  (T ≥ 2048) use a KV-chunked online-softmax scan that never materializes
+  the S×T score matrix — the fused path is bandwidth-bound on those
+  (53% of the 512² PGD step) and OOMs single-chip HBM at 1024².
 - Submodule names deliberately mirror diffusers' state-dict names
   (``resnets_0``, ``attn1``, ``to_q``, …) so weight conversion in
   :mod:`~tml_image_editing_defense_tpu.models.convert` is a mechanical
@@ -98,7 +101,9 @@ def _remat_attention(q, k, v, mask):
     27 GB at 512², an OOM) and forces conv-recompute remat policies.  With
     attention internals never saved, the denoise scan can run with
     ``remat_policy='none'`` (save all conv/dense outputs) on one chip.
-    Attention is <5% of step FLOPs at SD shapes, so the recompute is noise.
+    Attention is a small share of step FLOPs at SD shapes — but NOT of step
+    *time* at long T (bandwidth-bound score materialization), which is why
+    ``scaled_attention`` routes T ≥ 2048 to the chunked path instead.
     """
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
@@ -155,10 +160,24 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     return (acc / l[..., None]).astype(q.dtype)
 
 
+#: Minimum KV length for the chunked path (tests lower it to exercise
+#: chunking on tiny models).
+MIN_CHUNKED_SEQ = 2048
+
+
 def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
     """Attention dispatcher: chunked online-softmax when ``kv_chunk`` is set
-    and the KV axis is long enough to matter; XLA's fused path otherwise."""
-    if kv_chunk and mask is None and k.shape[1] > kv_chunk:
+    and the KV axis is long enough to matter; XLA's fused path otherwise.
+
+    The floor (S ≥ max(2·chunk, 2048)) keeps short sequences — cross-attn
+    S=77, SDXL-at-512²'s T=1024 self-attn — on the fused kernel, where the
+    score matrix is small and the scan would be pure overhead.  Long
+    sequences are bandwidth-bound on the materialized S×T scores: at
+    T=S=4096 the fused path measured 53% of the whole PGD step
+    (bf16[2,8,4096,4096] = 536 MB per layer); chunking cut the step from
+    2.42 → 1.74 s (docs/PERF.md).
+    """
+    if kv_chunk and mask is None and k.shape[1] >= max(2 * kv_chunk, MIN_CHUNKED_SEQ):
         return _chunked_attention(q, k, v, kv_chunk)
     return _remat_attention(q, k, v, mask)
 

@@ -262,17 +262,20 @@ def build_model(
     (``sdxl_img2img_pipeline.py:490-515``): UNet bf16 on the MXU, VAE f32.
 
     ``attn_kv_chunk``: KV-chunked online-softmax attention (layers.py
-    ``_chunked_attention``).  "auto" enables chunk 1024 at image_size ≥ 1024
-    — the full score matrices (up to 1 GB each in f32) otherwise push the
-    fwd+bwd program out of single-chip HBM; ``None`` forces XLA's fused
-    attention; an int forces that chunk size.
+    ``_chunked_attention``).  "auto" enables chunk 512 at image_size ≥ 512:
+    long-sequence attention is bandwidth-bound on its materialized score
+    matrices — 53% of the 512² PGD step (2.42 → 1.74 s/step chunked), and
+    at 1024² the 0.5-1 GB tensors push fwd+bwd out of single-chip HBM
+    entirely.  Short sequences keep the fused kernel via the dispatch
+    floor in ``scaled_attention``.  ``None`` forces fused attention
+    everywhere; an int forces that chunk size.
     """
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
     unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
     image_size = image_size or native
     if attn_kv_chunk == "auto":
-        attn_kv_chunk = 1024 if image_size >= 1024 else None
+        attn_kv_chunk = 512 if image_size >= 512 else None
     if attn_kv_chunk != unet_cfg.attn_kv_chunk:
         unet_cfg = dataclasses.replace(unet_cfg, attn_kv_chunk=attn_kv_chunk)
     if attn_kv_chunk != vae_cfg.attn_kv_chunk:

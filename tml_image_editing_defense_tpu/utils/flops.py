@@ -103,8 +103,17 @@ def count_fn_flops(fn: Callable, *args, **kwargs) -> int:
 
 
 def training_flops(forward_flops: int) -> int:
-    """fwd+bwd FLOPs for a differentiated forward: bwd ≈ 2 × fwd."""
+    """fwd+bwd FLOPs when differentiating w.r.t. *weights and inputs*:
+    bwd ≈ 2 × fwd (dL/dW + dL/dx each cost one forward-sized contraction)."""
     return 3 * forward_flops
+
+
+def input_grad_flops(forward_flops: int) -> int:
+    """fwd+bwd FLOPs when differentiating w.r.t. the *input only* — the PGD
+    attack regime (reference ``torch.autograd.grad(loss, [cur_image])``,
+    main.py:176).  No dL/dW terms exist (XLA dead-code-eliminates them), so
+    the backward is one forward-sized contraction chain: total ≈ 2 × fwd."""
+    return 2 * forward_flops
 
 
 def mfu(model_flops: float, seconds: float, device=None) -> Optional[float]:
@@ -129,12 +138,15 @@ def pgd_step_model_flops(
       the loss needs pixels;
     - once per step: VAE encode fwd + its VJP (factored out of the rep loop)
       and one visualization decode (fwd only).
+
+    All backwards are input-gradient-only (2× fwd): PGD differentiates the
+    image, never the weights.
     """
-    per_rep = training_flops(unet_fwd)
+    per_rep = input_grad_flops(unet_fwd)
     if image_loss:
-        per_rep += training_flops(vae_decode_fwd)
+        per_rep += input_grad_flops(vae_decode_fwd)
     return (
         grad_reps * per_rep
-        + training_flops(vae_encode_fwd)
+        + input_grad_flops(vae_encode_fwd)
         + vae_decode_fwd
     )
