@@ -60,7 +60,10 @@ def main() -> None:
     dtype = jnp.bfloat16
 
     t0 = time.time()
-    model = build_model("sd15", key=jax.random.key(0), dtype=dtype, fast_init=True)
+    # attn_kv_chunk=512: the training-path attention impl (api.immunize's
+    # choice at 512²) — the benched programs are all fwd+bwd attacks.
+    model = build_model("sd15", key=jax.random.key(0), dtype=dtype,
+                        fast_init=True, attn_kv_chunk=512)
     log(f"built SD-1.5 bundle (random bf16 weights) in {time.time() - t0:.1f}s")
 
     key = jax.random.key(1)
@@ -190,7 +193,7 @@ def main() -> None:
     if os.environ.get("BENCH_SDXL", "1") != "0":
         try:
             xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
-                             image_size=512, fast_init=True)
+                             image_size=512, fast_init=True, attn_kv_chunk=512)
             cfg = TrainConfig(
                 norm_type="l2", n_denoising_steps_per_iteration=4,
                 limit_timesteps=True, guidance_scale=3.0, use_lcm=True,

@@ -50,14 +50,27 @@ def main():
     ])
     log(f"{n} prompts, PLMS-50, 512², f32")
 
+    B = 2   # fused-attention-safe micro-batch: each pair is 4 UNet images
+            # (2 images x CFG); at B=2 the transient f32 scores are
+            # [8,8,4096,4096] = 4.3 GB.  B=8 under chunked attention ran but
+            # was SLOWER than sequential; B>=8 under fused attention OOMs.
+
     def run_batched(seed):
-        return pipe.edit_pairs(
-            prompts=prompts,
-            pair_images=jnp.broadcast_to(pair, (n,) + pair.shape),
-            pair_noises=pair_noises,
-            keys=jax.random.split(jax.random.key(seed), n),
-            num_inference_steps=50, guidance_scale=7.5, strength=0.6,
-        )
+        ks = jax.random.split(jax.random.key(seed), n)
+        outs = []
+        for i in range(0, n, B):
+            hi = min(i + B, n)
+            pad = B - (hi - i)
+            sl = list(range(i, hi)) + [hi - 1] * pad
+            o = pipe.edit_pairs(
+                prompts=[prompts[j] for j in sl],
+                pair_images=jnp.broadcast_to(pair, (B,) + pair.shape),
+                pair_noises=pair_noises[jnp.asarray(sl)],
+                keys=ks[jnp.asarray(sl)],
+                num_inference_steps=50, guidance_scale=7.5, strength=0.6,
+            )
+            outs.append(o[: hi - i])
+        return jnp.concatenate(outs)
 
     t0 = time.time()
     out = run_batched(3)
@@ -86,10 +99,52 @@ def main():
     seq_s = time.time() - t0
     log(f"sequential {n}-prompt eval: {seq_s:.2f}s")
 
+    # -- LCM-4 (the sweep driver's eval mode, run_all.py:59-93) ------------
+    from tml_image_editing_defense_tpu.models import build_model as _bm
+    lcm_pipe = Img2ImgPipeline(model, sampler="lcm", dtype=dtype)
+
+    def run_lcm_batched(seed):
+        ks = jax.random.split(jax.random.key(seed), n)
+        outs = []
+        for i in range(0, n, B):
+            hi = min(i + B, n)
+            pad = B - (hi - i)
+            sl = list(range(i, hi)) + [hi - 1] * pad
+            o = lcm_pipe.edit_pairs(
+                prompts=[prompts[j] for j in sl],
+                pair_images=jnp.broadcast_to(pair, (B,) + pair.shape),
+                pair_noises=pair_noises[jnp.asarray(sl)],
+                keys=ks[jnp.asarray(sl)],
+                num_inference_steps=4, guidance_scale=3.0, strength=0.6,
+            )
+            outs.append(o[: hi - i])
+        return jnp.concatenate(outs)
+
+    out = run_lcm_batched(3)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = run_lcm_batched(11)
+    jax.block_until_ready(out)
+    lcm_b = time.time() - t0
+    o = lcm_pipe(prompts[0], [clean, adv], num_inference_steps=4,
+                 guidance_scale=3.0, strength=0.6, noise=pair_noises[0],
+                 key=keys[0], output_type="array")
+    jax.block_until_ready(o)
+    t0 = time.time()
+    for i, p in enumerate(prompts):
+        o = lcm_pipe(p, [clean, adv], num_inference_steps=4, guidance_scale=3.0,
+                     strength=0.6, noise=pair_noises[i], key=keys[i],
+                     output_type="array")
+    jax.block_until_ready(o)
+    lcm_s = time.time() - t0
+    log(f"LCM-4: batched {lcm_b:.2f}s, sequential {lcm_s:.2f}s")
+
     print(json.dumps({
         "eval_19prompt_batched_s": round(batched_s, 2),
         "eval_19prompt_sequential_s": round(seq_s, 2),
         "speedup": round(seq_s / batched_s, 2),
+        "eval_lcm4_batched_s": round(lcm_b, 2),
+        "eval_lcm4_sequential_s": round(lcm_s, 2),
     }), flush=True)
 
 

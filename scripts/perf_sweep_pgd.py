@@ -46,7 +46,8 @@ def main():
     dev = jax.devices()[0]
     log(f"device={dev} XLA_FLAGS={os.environ.get('XLA_FLAGS', '')!r}")
 
-    model = build_model("sd15", key=jax.random.key(0), dtype=dtype, fast_init=True)
+    model = build_model("sd15", key=jax.random.key(0), dtype=dtype, fast_init=True,
+                        attn_kv_chunk=int(os.environ.get("SWEEP_ATTN_CHUNK", "512")) or None)
     src = jnp.clip(
         jax.random.normal(jax.random.key(1), (1, 512, 512, 3), jnp.float32) * 0.4,
         -1, 1,

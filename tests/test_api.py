@@ -123,13 +123,21 @@ def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model):
                  batch_edits=False, **kw)
     api.evaluate(_inf(tmp_path / "bat"), res.adversarial_image,
                  batch_edits=True, **kw)
+    # eval_batch_size=4 over 6 cells: exercises the padded tail chunk
+    # (HBM-bounding micro-batches must not change any output)
+    api.evaluate(_inf(tmp_path / "chk"), res.adversarial_image,
+                 batch_edits=True, eval_batch_size=4, **kw)
     seq = sorted((tmp_path / "seq").glob("*.png"))
     bat = sorted((tmp_path / "bat").glob("*.png"))
-    assert len(seq) == len(bat) == 12            # (3 prompts × 2 noises) × 2
-    for a, b in zip(seq, bat):
-        assert a.name == b.name
+    chk = sorted((tmp_path / "chk").glob("*.png"))
+    assert len(seq) == len(bat) == len(chk) == 12  # (3 prompts × 2 noises) × 2
+    for a, b, c in zip(seq, bat, chk):
+        assert a.name == b.name == c.name
         np.testing.assert_array_equal(
             np.asarray(Image.open(a)), np.asarray(Image.open(b)), err_msg=a.name
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(a)), np.asarray(Image.open(c)), err_msg=c.name
         )
 
 

@@ -81,6 +81,14 @@ def _default_family(cfg) -> str:
     return "sdxl" if cfg.use_sdxl else "sd15"
 
 
+def _train_attn_chunk(image_size: int) -> "int | None":
+    """Attention impl for TRAINING model builds: KV-chunked (512) from 512²
+    up — the attack differentiates through the chain, and the chunked path
+    is what makes the backward bandwidth/HBM-viable (docs/PERF.md).
+    Inference builds keep build_model's "auto" (fused below 1024²)."""
+    return 512 if image_size >= 512 else None
+
+
 def immunize(
     cfg: TrainConfig,
     model: Optional[DiffusionModel] = None,
@@ -91,7 +99,8 @@ def immunize(
     dtype = jnp.dtype(cfg.dtype)
     if model is None:
         model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
-                            image_size=cfg.image_size, dtype=dtype)
+                            image_size=cfg.image_size, dtype=dtype,
+                            attn_kv_chunk=_train_attn_chunk(cfg.image_size))
     if logger is None:
         logger = MetricsLogger(name=cfg.experiment_name, config=cfg.asdict(),
                                output_dir=cfg.output_path)
@@ -248,7 +257,8 @@ def immunize_batch(
     dtype = jnp.dtype(cfg.dtype)
     if model is None:
         model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
-                            image_size=cfg.image_size, dtype=dtype)
+                            image_size=cfg.image_size, dtype=dtype,
+                            attn_kv_chunk=_train_attn_chunk(cfg.image_size))
     if logger is None:
         logger = MetricsLogger(name=f"{cfg.experiment_name}_batch",
                                config=cfg.asdict(), output_dir=cfg.output_path)
@@ -355,15 +365,21 @@ def evaluate(
     training_prompts: Optional[Sequence[str]] = None,
     logger: Optional[MetricsLogger] = None,
     batch_edits: bool = True,
+    eval_batch_size: int = 2,
 ) -> List[Image.Image]:
     """Clean-vs-adversarial edit comparison (Inference.run_inference,
     main.py:431-589): per (prompt × noise) a 5-image grid on the train image,
     then transfer to validation images with 4-image grids.
 
-    ``batch_edits=True`` (default) runs ALL (prompt × noise) double-edits of
-    an image as one vmapped dispatch — identical per-cell keys/outputs to the
-    sequential path (the reference runs 19 × n_noise sequential pipeline
-    pairs), at a fraction of the wall-clock."""
+    ``batch_edits=True`` (default) runs the (prompt × noise) double-edits of
+    an image in vmapped dispatches of ``eval_batch_size`` pairs — identical
+    per-cell keys/outputs to the sequential path (the reference runs
+    19 × n_noise sequential pipeline pairs).  ``eval_batch_size`` bounds
+    HBM — each pair is 4 UNet images (2 images × CFG), and fused attention
+    transiently materializes f32 score tensors per self-attn layer, so big
+    batches OOM one v5e at 512² f32 (all 19 pairs: 20 GB, measured);
+    chunks are padded to a fixed size so exactly one program is compiled.
+    Measured dispatch economics are in docs/PERF.md."""
     del training_prompts  # accepted for signature parity; unused (main.py:469)
     dtype = jnp.dtype(cfg.dtype)
     inference_prompts = list(inference_prompts or INFERENCE_PROMPTS)
@@ -433,17 +449,26 @@ def evaluate(
             negative_aesthetic_score=cfg.negative_aesthetic_score,
         )
         if batch_edits:
-            outs = pipeline.edit_pairs(
-                prompts=[c[0] for c in cells],
-                pair_images=jnp.broadcast_to(pair, (len(cells),) + pair.shape),
-                pair_noises=jnp.stack([c[2] for c in cells]),
-                keys=jnp.stack([c[3] for c in cells]),
-                num_inference_steps=cfg.n_steps,
-                guidance_scale=cfg.guidance_scale,
-                strength=cfg.strength,
-                **sdxl_kw,
-            )
-            outs = np.asarray(jax.device_get(outs))            # [P,2,H,W,3]
+            # chunk to bound HBM; pad the tail chunk to eval_batch_size so a
+            # single program serves every dispatch
+            B = max(1, min(eval_batch_size, len(cells)))
+            chunks = []
+            for i in range(0, len(cells), B):
+                part = cells[i:i + B]
+                n_pad = B - len(part)
+                padded = part + [part[-1]] * n_pad
+                o = pipeline.edit_pairs(
+                    prompts=[c[0] for c in padded],
+                    pair_images=jnp.broadcast_to(pair, (B,) + pair.shape),
+                    pair_noises=jnp.stack([c[2] for c in padded]),
+                    keys=jnp.stack([c[3] for c in padded]),
+                    num_inference_steps=cfg.n_steps,
+                    guidance_scale=cfg.guidance_scale,
+                    strength=cfg.strength,
+                    **sdxl_kw,
+                )
+                chunks.append(np.asarray(jax.device_get(o))[:len(part)])
+            outs = np.concatenate(chunks)                      # [P,2,H,W,3]
             to_pil = lambda a: image_ops.to_pil(
                 a[None].transpose(0, 3, 1, 2), denormalize=False)
             return [(to_pil(outs[i, 0]), to_pil(outs[i, 1])) for i in range(len(cells))]
@@ -597,6 +622,7 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
                 model = build_model(
                     _default_family(batch_cfg), key=jax.random.key(batch_cfg.seed),
                     image_size=batch_cfg.image_size, dtype=jnp.dtype(batch_cfg.dtype),
+                    attn_kv_chunk=_train_attn_chunk(batch_cfg.image_size),
                 )
             immunize_batch(
                 batch_cfg,

@@ -262,20 +262,23 @@ def build_model(
     (``sdxl_img2img_pipeline.py:490-515``): UNet bf16 on the MXU, VAE f32.
 
     ``attn_kv_chunk``: KV-chunked online-softmax attention (layers.py
-    ``_chunked_attention``).  "auto" enables chunk 512 at image_size ≥ 512:
-    long-sequence attention is bandwidth-bound on its materialized score
-    matrices — 53% of the 512² PGD step (2.42 → 1.74 s/step chunked), and
-    at 1024² the 0.5-1 GB tensors push fwd+bwd out of single-chip HBM
-    entirely.  Short sequences keep the fused kernel via the dispatch
-    floor in ``scaled_attention``.  ``None`` forces fused attention
-    everywhere; an int forces that chunk size.
+    ``_chunked_attention``).  Long-sequence attention *backward* is
+    bandwidth-bound on its materialized score matrices — 53% of the 512²
+    PGD step (2.42 → 1.74 s/step with chunk 512), and at 1024² the 0.5-1 GB
+    tensors push fwd+bwd out of single-chip HBM entirely.  Forward-only
+    inference at 512² is the opposite: the fused kernel wins (chunking
+    measured a ~25% eval-edit regression), so "auto" chunks only at
+    image_size ≥ 1024 where even inference gains (VAE's 16384-token mid
+    attention; eval edit 8.79 → 7.46 s).  **Training callers at 512² pass
+    ``attn_kv_chunk=512`` explicitly** (api.immunize does this).  ``None``
+    forces fused attention everywhere; an int forces that chunk size.
     """
     if family not in _FAMILIES:
         raise ValueError(f"unknown family {family!r}; have {sorted(_FAMILIES)}")
     unet_cfg, vae_cfg, text_cfgs, native = _FAMILIES[family]
     image_size = image_size or native
     if attn_kv_chunk == "auto":
-        attn_kv_chunk = 512 if image_size >= 512 else None
+        attn_kv_chunk = 512 if image_size >= 1024 else None
     if attn_kv_chunk != unet_cfg.attn_kv_chunk:
         unet_cfg = dataclasses.replace(unet_cfg, attn_kv_chunk=attn_kv_chunk)
     if attn_kv_chunk != vae_cfg.attn_kv_chunk:
