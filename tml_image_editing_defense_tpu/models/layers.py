@@ -130,16 +130,17 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     if pad:
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    kc = jnp.moveaxis(k.reshape(b, n, kv_chunk, h, d), 1, 0)   # [n,B,C,H,D]
-    vc = jnp.moveaxis(v.reshape(b, n, kv_chunk, h, d), 1, 0)
-    # validity of each (chunk, position): only the last chunk is ever padded
-    valid = jnp.arange(n * kv_chunk).reshape(n, kv_chunk) < s  # [n,C]
     scale = 1.0 / math.sqrt(d)
 
+    # K/V are sliced in place per chunk index — pre-stacking [n,B,C,H,D]
+    # scan inputs costs a full K+V transpose copy and showed up as 23% of
+    # the PGD step in dynamic-update-slice fusions.
     @jax.checkpoint
-    def body(carry, xs):
+    def body(carry, idx):
         m, l, acc = carry                                      # f32 running stats
-        kcb, vcb, ok = xs
+        kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
+        vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
+        ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
         logits = (
             jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
         )
@@ -156,7 +157,7 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     m0 = jnp.full((b, t, h), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, t, h), jnp.float32)
     acc0 = jnp.zeros((b, t, h, d), jnp.float32)
-    (_, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, valid))
+    (_, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n))
     return (acc / l[..., None]).astype(q.dtype)
 
 
