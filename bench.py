@@ -198,7 +198,8 @@ def main() -> None:
                 norm_type="l2", n_denoising_steps_per_iteration=4,
                 limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
                 use_sdxl=True, image_size=512, dtype="bfloat16",
-                eot_mode="scan", remat_policy="dots", prompts=list(PROMPTS_LIST),
+                eot_mode="scan", remat_policy="none",   # 1.65 s/step vs 1.80 dots
+                prompts=list(PROMPTS_LIST),
             )
             xsampler = LCMSampler(xl.schedule)
             xplan = xsampler.plan(4, limit_t=700)
