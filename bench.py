@@ -9,6 +9,12 @@ north-star target is < 5 s/image/chip, so ``vs_baseline = 5.0 / value``
 Models are random-weight but full-architecture SD-1.5 (identical compute
 graph and cost to converted checkpoints), bf16 on the MXU.
 All progress goes to stderr; stdout carries exactly the one JSON line.
+
+HBM hygiene (VERDICT r2 item 1): the SD-1.5 legs run inside a function whose
+device references die on return; every surviving device buffer is then
+explicitly deleted before the 2.57B-param SDXL leg builds.  Without this the
+SDXL fwd+bwd program (7.9 GB XLA temp + 5.1 GB params) OOMs the 16 GB chip
+next to the resident SD-1.5 bundle (BENCH_r02: RESOURCE_EXHAUSTED).
 """
 
 from __future__ import annotations
@@ -34,18 +40,35 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_steps(fn, n_warm: int, n_meas: int, *args):
-    """Steady-state seconds/step of a jitted step function x->x."""
-    x = fn(*args)
-    jax.block_until_ready(x)
-    t0 = time.time()
-    for _ in range(n_meas):
-        x = fn(*args)
-    jax.block_until_ready(x)
-    return (time.time() - t0) / n_meas
+def free_all_device_memory() -> None:
+    """Drop every live device buffer + cached executable this process holds.
+
+    ``jax.clear_caches()`` alone keeps arrays alive through Python refs; the
+    caller must let its references die first (run legs inside a function),
+    then this deletes whatever stragglers remain (donated outputs, cached
+    constants) so the next leg starts from an empty HBM.
+    """
+    jax.clear_caches()
+    n = 0
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+            n += 1
+        except Exception:
+            pass
+    log(f"freed {n} live device arrays")
 
 
-def main() -> None:
+def _make_src(key, dtype):
+    src = jnp.clip(
+        jax.random.normal(key, (1, 512, 512, 3), jnp.float32) * 0.4, -1, 1
+    )
+    return src.astype(dtype)
+
+
+def sd15_legs(dtype) -> dict:
+    """Encoder-attack headline + SD-1.5 diffusion PGD leg.  Returns ONLY
+    plain Python numbers so every device reference dies on return."""
     from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
     from tml_image_editing_defense_tpu.attack.encoder_attack import (
         make_encoder_attack_loop,
@@ -55,10 +78,7 @@ def main() -> None:
     from tml_image_editing_defense_tpu.core.samplers import LCMSampler
     from tml_image_editing_defense_tpu.models import build_model
 
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
-    dtype = jnp.bfloat16
-
+    out: dict = {}
     t0 = time.time()
     # attn_kv_chunk=512: the training-path attention impl (api.immunize's
     # choice at 512²) — the benched programs are all fwd+bwd attacks.
@@ -67,7 +87,7 @@ def main() -> None:
     log(f"built SD-1.5 bundle (random bf16 weights) in {time.time() - t0:.1f}s")
 
     key = jax.random.key(1)
-    src = jnp.clip(jax.random.normal(key, (1, 512, 512, 3), jnp.float32) * 0.4, -1, 1)
+    src = _make_src(key, dtype)
 
     # ---- 1. encoder attack: 200-step immunization, one scan --------------
     # Headline = per-chip throughput at batch 8 (a sweep immunizes many
@@ -80,7 +100,7 @@ def main() -> None:
     )
 
     def measure_encoder(batch: int) -> float:
-        srcB = jnp.broadcast_to(src.astype(dtype), (batch, 512, 512, 3))
+        srcB = jnp.broadcast_to(src, (batch, 512, 512, 3))
         target_latent = model.encode_image(model.params["vae"], srcB)
         t0 = time.time()
         x_adv, _ = enc_loop(model.params, srcB, target_latent, key)
@@ -101,11 +121,11 @@ def main() -> None:
             f"({n_enc_steps / per_img:.1f} steps/s/image)")
         return per_img
 
-    enc_b1 = measure_encoder(1)
-    enc_s_per_image = measure_encoder(8)
+    out["enc_b1"] = measure_encoder(1)
+    out["enc_s_per_image"] = measure_encoder(8)
+    out["n_enc_steps"] = n_enc_steps
 
     # ---- 2. diffusion attack PGD step (reference L2 config) --------------
-    extras = {}
     try:
         cfg = TrainConfig(
             norm_type="l2",                      # → eps=32, step 7.5, reps 10
@@ -125,11 +145,11 @@ def main() -> None:
             [p + ", detailed" for p in cfg.prompts[:8]]  # bank slice: same cost/step
         )
         pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
-        data = make_attack_data(model, cfg, src.astype(dtype),
-                                jnp.zeros_like(src, dtype), bank, pool)
+        data = make_attack_data(model, cfg, src,
+                                jnp.zeros_like(src), bank, pool)
         step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
         t0 = time.time()
-        x1, aux = step(model.params, src.astype(dtype), data, jax.random.key(3))
+        x1, aux = step(model.params, src, data, jax.random.key(3))
         jax.block_until_ready(x1)
         log(f"diffusion PGD step compile+first-run {time.time() - t0:.1f}s "
             f"(loss {float(aux['avg_loss']):.1f})")
@@ -140,11 +160,11 @@ def main() -> None:
             x, aux = step(model.params, x, data, jax.random.key(200 + i))
         jax.block_until_ready(x)
         diff_s_per_step = (time.time() - t0) / n_meas
-        extras = {
+        out.update({
             "diffusion_pgd_s_per_step": round(diff_s_per_step, 4),
             "diffusion_pgd_steps_per_sec": round(1.0 / diff_s_per_step, 4),
             "diffusion_200step_s_per_image": round(200 * diff_s_per_step, 2),
-        }
+        })
         log(f"diffusion attack: {diff_s_per_step:.3f} s/PGD-step "
             f"({1/diff_s_per_step:.2f} steps/s; 10 reps × 2 LCM steps × CFG)")
 
@@ -159,8 +179,7 @@ def main() -> None:
             model.params, lat, jnp.asarray(519, jnp.int32), ctx2,
         )
         enc = F.count_fn_flops(
-            lambda p, im: model.encode_image(p["vae"], im), model.params,
-            src.astype(dtype),
+            lambda p, im: model.encode_image(p["vae"], im), model.params, src,
         )
         dec = F.count_fn_flops(
             lambda p, z: model.decode_latent(p["vae"], z, scaled=False),
@@ -170,66 +189,100 @@ def main() -> None:
             plan.num_steps * unet1, enc, dec, cfg.grad_reps,
             image_loss=cfg.apply_loss_on_images,
         )
-        extras["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
+        out["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
         diff_mfu = F.mfu(step_flops, diff_s_per_step)
         if diff_mfu is not None:
-            extras["mfu"] = round(diff_mfu, 4)
+            out["mfu"] = round(diff_mfu, 4)
             log(f"diffusion MFU: {diff_mfu:.1%} "
                 f"({step_flops/1e12:.1f} model TFLOPs / step)")
         # encoder attack MFU: per PGD step = encode fwd+bwd at batch 8
         enc_step_flops = F.input_grad_flops(8 * enc)
-        enc_mfu = F.mfu(enc_step_flops * n_enc_steps, enc_s_per_image * 8)
+        enc_mfu = F.mfu(enc_step_flops * n_enc_steps, out["enc_s_per_image"] * 8)
         if enc_mfu is not None:
-            extras["encoder_mfu"] = round(enc_mfu, 4)
+            out["encoder_mfu"] = round(enc_mfu, 4)
             log(f"encoder-attack MFU: {enc_mfu:.1%}")
     except Exception as e:  # keep the primary metric even if this leg fails
         log(f"diffusion bench failed: {type(e).__name__}: {e}")
-        extras = {"diffusion_error": f"{type(e).__name__}: {e}"}
+        out["diffusion_error"] = f"{type(e).__name__}: {e}"
+    return out
 
-    # ---- 3. SDXL diffusion PGD step (on by default; BENCH_SDXL=0 skips) ---
-    # Bounded: 512² (the reference's SDXL *training* size in main.py is also
-    # 512 — old/train_noise.py works at 1024, measured separately in
-    # docs/PERF.md), 3 measured steps, compile cached across driver runs.
+
+def sdxl_leg(dtype) -> dict:
+    """SDXL diffusion PGD step (on by default; BENCH_SDXL=0 skips).
+
+    Bounded: 512² (the reference's SDXL *training* size in main.py is also
+    512 — old/train_noise.py works at 1024, measured separately in
+    docs/PERF.md), 3 measured steps, compile cached across driver runs.
+    MUST run with HBM emptied of the SD-1.5 bundle (see module docstring).
+    """
+    from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+    from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.core.samplers import LCMSampler
+    from tml_image_editing_defense_tpu.models import build_model
+
+    out: dict = {}
+    try:
+        t0 = time.time()
+        xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
+                         image_size=512, fast_init=True, attn_kv_chunk=512)
+        log(f"built SDXL bundle in {time.time() - t0:.1f}s")
+        src = _make_src(jax.random.key(1), dtype)
+        cfg = TrainConfig(
+            norm_type="l2", n_denoising_steps_per_iteration=4,
+            limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
+            use_sdxl=True, image_size=512, dtype="bfloat16",
+            eot_mode="scan", remat_policy="none",   # 1.65 s/step vs 1.80 dots
+            prompts=list(PROMPTS_LIST),
+        )
+        xsampler = LCMSampler(xl.schedule)
+        xplan = xsampler.plan(4, limit_t=700)
+        xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
+        xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
+        xdata = make_attack_data(xl, cfg, src, jnp.zeros_like(src), xbank, xpool)
+        xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
+        t0 = time.time()
+        x1, _ = xstep(xl.params, src, xdata, jax.random.key(9))
+        jax.block_until_ready(x1)
+        log(f"SDXL PGD step compile+first-run {time.time() - t0:.1f}s")
+        ts = []
+        x = x1
+        for i in range(3):
+            t0 = time.time()
+            x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
+            jax.block_until_ready(x)
+            ts.append(time.time() - t0)
+        out["sdxl_pgd_s_per_step"] = round(min(ts), 4)
+        log(f"SDXL diffusion step: {min(ts):.3f}s")
+    except Exception as e:
+        log(f"SDXL bench failed: {type(e).__name__}: {e}")
+        out["sdxl_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    dtype = jnp.bfloat16
+
+    sd = sd15_legs(dtype)
+    extras = {k: v for k, v in sd.items()
+              if k not in ("enc_b1", "enc_s_per_image", "n_enc_steps")}
+
     if os.environ.get("BENCH_SDXL", "1") != "0":
-        try:
-            xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
-                             image_size=512, fast_init=True, attn_kv_chunk=512)
-            cfg = TrainConfig(
-                norm_type="l2", n_denoising_steps_per_iteration=4,
-                limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
-                use_sdxl=True, image_size=512, dtype="bfloat16",
-                eot_mode="scan", remat_policy="none",   # 1.65 s/step vs 1.80 dots
-                prompts=list(PROMPTS_LIST),
-            )
-            xsampler = LCMSampler(xl.schedule)
-            xplan = xsampler.plan(4, limit_t=700)
-            xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
-            xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
-            xdata = make_attack_data(xl, cfg, src.astype(dtype),
-                                     jnp.zeros_like(src, dtype), xbank, xpool)
-            xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
-            x1, _ = xstep(xl.params, src.astype(dtype), xdata, jax.random.key(9))
-            jax.block_until_ready(x1)
-            ts = []
-            x = x1
-            for i in range(3):
-                t0 = time.time()
-                x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
-                jax.block_until_ready(x)
-                ts.append(time.time() - t0)
-            extras["sdxl_pgd_s_per_step"] = round(min(ts), 4)
-            log(f"SDXL diffusion step: {min(ts):.3f}s")
-        except Exception as e:
-            log(f"SDXL bench failed: {type(e).__name__}: {e}")
-            extras["sdxl_error"] = f"{type(e).__name__}: {e}"
+        # all SD-1.5 device references died with sd15_legs's frame; now
+        # reclaim HBM before the 2.57B-param build (VERDICT r2 item 1)
+        free_all_device_memory()
+        extras.update(sdxl_leg(dtype))
 
+    enc_s_per_image = sd["enc_s_per_image"]
     result = {
         "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
         "value": round(enc_s_per_image, 4),
         "unit": "s/image/chip",
         "vs_baseline": round(5.0 / enc_s_per_image, 3),
-        "encoder_steps_per_sec_per_image": round(n_enc_steps / enc_s_per_image, 2),
-        "encoder_batch1_s_per_image": round(enc_b1, 4),
+        "encoder_steps_per_sec_per_image": round(sd["n_enc_steps"] / enc_s_per_image, 2),
+        "encoder_batch1_s_per_image": round(sd["enc_b1"], 4),
         "device": str(dev),
         **extras,
     }

@@ -96,6 +96,31 @@ def test_batched_pgd_matches_sequential(setup):
         )
 
 
+def test_dp_eot_matches_serial_step(setup):
+    """The 2-D (data × reps) step's oracle (VERDICT r2 item 5): its per-image
+    rep-key stream is the global ``split(k_reps, grad_reps)`` block-sharded
+    over the reps axis, so every image must reproduce the serial
+    ``make_pgd_step`` result for the same image key."""
+    from tml_image_editing_defense_tpu.parallel.dp_eot import make_dp_eot_pgd_step
+
+    model, cfg, sampler, plan, bank = setup
+    datas, srcs = zip(*[_one_data(model, cfg, bank, 20 + s) for s in range(2)])
+    batched = batch_attack_data(datas)
+    mesh = make_mesh({DATA_AXIS: 2, REPS_AXIS: 4})
+    dstep = make_dp_eot_pgd_step(model, sampler, plan, cfg, batched, mesh)
+    keys = jax.random.split(jax.random.key(11), 2)
+    with jax.sharding.set_mesh(mesh):
+        x2, aux2 = jax.jit(dstep)(model.params, jnp.stack(srcs), batched, keys)
+        x2, aux2 = jax.device_get((x2, aux2))
+    ref_step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    for i in range(2):
+        xi, auxi = ref_step(model.params, srcs[i], datas[i], keys[i])
+        np.testing.assert_allclose(np.asarray(x2[i]), np.asarray(xi),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(aux2["avg_loss"][i]),
+                                   float(auxi["avg_loss"]), rtol=1e-5)
+
+
 def test_batched_step_is_actually_sharded(setup):
     model, cfg, sampler, plan, bank = setup
     datas, srcs = zip(*[_one_data(model, cfg, bank, 10 + s) for s in range(8)])

@@ -41,6 +41,7 @@ def inpaint_attack_forward(
     key: jax.Array,
     remat_policy: str = "full",
     mask_latent: Optional[jnp.ndarray] = None,   # [1,h,w,1]; None ⇒ all ones
+    unroll: "bool | None" = None,
 ) -> jnp.ndarray:
     """image → unscaled output latent through the inpaint denoising chain."""
     k_lat, k_vae, k_chain = jax.random.split(key, 3)
@@ -76,8 +77,14 @@ def inpaint_attack_forward(
 
     body = apply_remat(body, remat_policy)
     carry0 = sampler.init_carry(latents.shape, latents.dtype)
+    # Same unroll policy as denoise_chain (attack/forward.py): short chains
+    # unroll, and cfg.unroll_denoise=False keeps huge-program configs rolled
+    # (ADVICE r2: the inpaint path previously could not opt out).
+    if unroll is None:
+        unroll = plan.num_steps <= 4
     (x, _), _ = jax.lax.scan(
-        body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys)
+        body, (latents, carry0), (jnp.arange(plan.num_steps), step_keys),
+        unroll=unroll,
     )
     return x / model.vae_scaling
 
@@ -98,6 +105,7 @@ def make_inpaint_eot_grad(
         out_latent = inpaint_attack_forward(
             model, sampler, plan, params, x_adv, cond,
             cfg.guidance_scale, key, cfg.remat_policy, mask_latent=None,
+            unroll=getattr(cfg, "unroll_denoise", None),
         )
         out_image = model.decode_latent(params["vae"], out_latent, scaled=False)
         if cfg.apply_loss_on_images:

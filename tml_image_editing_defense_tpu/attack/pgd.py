@@ -445,6 +445,8 @@ def run_pgd(
     vis_callback: Optional[Callable] = None,
     start_iteration: int = 0,
     stop_flag=None,
+    step_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, list]:
     """Host-driven PGD loop with optional visualization callbacks at
     ``cfg.image_visualization_interval`` (reference main.py:117-135).  The
@@ -454,26 +456,35 @@ def run_pgd(
     between steps; on preemption the loop returns early with the current
     iterate.
 
+    ``step_fn``/``mesh``: an alternative step function (same signature as
+    :func:`make_pgd_step`'s result — e.g. the reps-sharded step from
+    parallel/eot.py) and the mesh to activate while driving it.
+
     Per-iteration keys are derived positionally (``fold_in(key, it)``), so a
     run resumed at iteration k from a checkpoint continues the *same* RNG
     stream an uninterrupted run would have consumed — no repeated EOT
     samples (sequential split-and-advance replayed the stream from 0).
     """
-    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    import contextlib
+
+    step = jax.jit(step_fn or make_pgd_step(model, sampler, plan, cfg))
+    ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+           else contextlib.nullcontext())
     x_adv = data.source if x_init is None else x_init
     history = []
     n = cfg.n_optimization_steps
-    for it in range(start_iteration, n):
-        if stop_flag:
-            history.append({"preempted_at": it})
-            break
-        sub = jax.random.fold_in(key, it)
-        x_adv, aux = step(model.params, x_adv, data, sub)
-        if vis_callback is not None and (
-            it % cfg.image_visualization_interval == 0 or it == n - 1
-        ):
-            vis_callback(it, x_adv, aux)
-            history.append(
-                {k: float(aux[k]) for k in ("avg_loss", "rec_loss", "pert_loss")}
-            )
+    with ctx:
+        for it in range(start_iteration, n):
+            if stop_flag:
+                history.append({"preempted_at": it})
+                break
+            sub = jax.random.fold_in(key, it)
+            x_adv, aux = step(model.params, x_adv, data, sub)
+            if vis_callback is not None and (
+                it % cfg.image_visualization_interval == 0 or it == n - 1
+            ):
+                vis_callback(it, x_adv, aux)
+                history.append(
+                    {k: float(aux[k]) for k in ("avg_loss", "rec_loss", "pert_loss")}
+                )
     return x_adv, history

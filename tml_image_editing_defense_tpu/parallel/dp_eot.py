@@ -8,8 +8,12 @@ The full multi-chip immunization step this framework scales with:
 
 Per-image RNG: the prompt draw comes from the image key (identical across
 reps shards, matching the reference's one-prompt-per-iteration semantics,
-``main.py:85``), while rep keys fold in the reps-shard index so every grad
-sample is distinct.
+``main.py:85``), and rep keys are the image's GLOBAL ``split(k_reps,
+grad_reps)`` stream with each shard taking its contiguous block — exactly
+the stream the serial step (``attack/pgd.py::make_eot_grad``) and the 1-D
+sharded step (``parallel/eot.py``) consume, so a (data=1, reps=N) mesh
+reproduces ``make_pgd_step`` and the EOT distribution is pinned to the
+reference semantics (VERDICT r2 item 5).
 """
 
 from __future__ import annotations
@@ -61,7 +65,11 @@ def make_dp_eot_pgd_step(
         rep_shard = jax.lax.axis_index(REPS_AXIS)
         k_prompt, k_reps = jax.random.split(img_key)
         prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
-        rep_keys = jax.random.split(jax.random.fold_in(k_reps, rep_shard), local_reps)
+        # serial-oracle key stream: global split, contiguous block per shard
+        rep_keys_all = jax.random.split(k_reps, cfg.grad_reps)
+        rep_keys = jax.lax.dynamic_slice_in_dim(
+            rep_keys_all, rep_shard * local_reps, local_reps, axis=0
+        )
 
         def encode(x):
             return model.vae.apply(

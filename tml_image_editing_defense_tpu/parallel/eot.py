@@ -57,34 +57,56 @@ def make_sharded_eot_pgd_step(
 
         dist, vjp_fn = jax.vjp(encode, x_adv)
         zero = jax.tree.map(jnp.zeros_like, dist)
+        aux0 = (jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros((1,) + model.latent_shape[1:], x_adv.dtype))
 
         def body(acc, k):
             (loss, aux), g = grad_fn(dist, params, data, prompt_idx, k)
-            del aux
-            return (jax.tree.map(jnp.add, acc[0], g), acc[1] + loss), None
+            rec, pert, out_lat = aux
+            aux_c = (rec.astype(jnp.float32), pert.astype(jnp.float32), out_lat)
+            return (jax.tree.map(jnp.add, acc[0], g), acc[1] + loss, aux_c), None
 
-        (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), rep_keys_local)
+        (gsum, lsum, last_aux), _ = jax.lax.scan(
+            body, (zero, jnp.zeros(()), aux0), rep_keys_local
+        )
         gdist = jax.lax.pmean(
             jax.tree.map(lambda g: g / local_reps, gsum), REPS_AXIS
         )
         avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
         (grad,) = vjp_fn(gdist)
-        return grad, avg_loss
+        # serial-aux parity: the single-device step reports the LAST rep's
+        # (rec, pert, out_latent) — globally that is the last shard's last
+        # rep, selected with an indicator-psum over the reps axis.
+        is_last = (jax.lax.axis_index(REPS_AXIS) == n_shards - 1).astype(jnp.float32)
+        rec, pert, out_lat = jax.tree.map(
+            lambda a: jax.lax.psum(a * is_last.astype(a.dtype), REPS_AXIS), last_aux
+        )
+        return grad, avg_loss, rec, pert, out_lat
 
     sharded = shard_map(
         local_eot,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(REPS_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
+
+    update = perturbation_step
+    if getattr(cfg, "use_pallas_update", True):
+        from tml_image_editing_defense_tpu.ops.pgd_kernels import (
+            fused_perturbation_step,
+        )
+
+        update = fused_perturbation_step
 
     def step(params, x_adv, data, key):
         k_prompt, k_reps = jax.random.split(key)
         prompt_idx = jax.random.randint(k_prompt, (), 0, data.bank_embeds.shape[0])
         rep_keys = jax.random.split(k_reps, cfg.grad_reps)
-        grad, avg_loss = sharded(params, x_adv, data, prompt_idx, rep_keys)
-        x_adv = perturbation_step(
+        grad, avg_loss, rec, pert, out_lat = sharded(
+            params, x_adv, data, prompt_idx, rep_keys
+        )
+        x_adv = update(
             cfg.norm_type,
             x_adv=x_adv,
             grad=grad,
@@ -95,6 +117,14 @@ def make_sharded_eot_pgd_step(
             max_value=cfg.max_value,
             mask=data.mask,
         )
-        return x_adv, {"avg_loss": avg_loss}
+        out_img = model.decode_latent(params["vae"], out_lat, scaled=False)
+        aux = {
+            "avg_loss": avg_loss,
+            "rec_loss": rec,
+            "pert_loss": pert,
+            "output_image": out_img,
+            "prompt_idx": prompt_idx,
+        }
+        return x_adv, aux
 
     return step
