@@ -35,7 +35,17 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--use-lcm-training", action="store_true", default=True)
     ap.add_argument("--use-lcm-inference", action="store_true", default=False)
+    ap.add_argument("--params", type=Path, default=None,
+                    help="converted real-weight .msgpack "
+                         "(scripts/prepare_real_weights.py)")
+    ap.add_argument("--tokenizer", type=Path, nargs="*", default=None,
+                    help="local HF tokenizer dir(s), one per text encoder")
     args = ap.parse_args()
+    weights = dict(
+        params_path=args.params,
+        tokenizer_paths=None if args.tokenizer is None
+        else [str(t) for t in args.tokenizer],
+    )
     target = args.target or args.source
     dev = args.family in ("tiny", "tiny-sdxl")
     size = 32 if dev else 512
@@ -57,6 +67,7 @@ def main():
                 step_size=0.02, grad_reps=2, apply_loss_on_latents=True,
                 apply_loss_on_images=False, perturbation_loss_lambda=0.0,
                 prompts=["melting", "origami"]) if dev else {}),
+        **weights,
     )
     result = api.immunize(train_cfg)
 
@@ -80,6 +91,7 @@ def main():
         use_lcm=args.use_lcm_inference or dev,
         model_family=args.family,
         image_size=size,
+        **weights,
     )
     grids = api.evaluate(
         inference_cfg,

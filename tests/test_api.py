@@ -100,10 +100,14 @@ def test_evaluate_grids(img_file, tmp_path, tiny_model):
     assert len(saved) == 2 + 2                   # train grids + val grids
 
 
-def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model):
+def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model,
+                                             monkeypatch):
     """batch_edits=True (one vmapped dispatch for all prompt×noise cells)
     must write byte-identical grids to the sequential per-cell path — the
-    host RNG stream is drawn in the same order (VERDICT round-1 item 8)."""
+    host RNG stream is drawn in the same order (VERDICT round-1 item 8).
+    On this 8-device mesh the batched path also auto-shards the cell axis
+    (cfg.eval_shards, VERDICT r2 item 6), so the byte-identity here covers
+    the multi-chip eval tier too."""
     cfg = _train_cfg(img_file, tmp_path / "t0")
     res = api.immunize(cfg, model=tiny_model)
     val_list = tmp_path / "validation_images.txt"
@@ -121,8 +125,21 @@ def test_evaluate_batched_matches_sequential(img_file, tmp_path, tiny_model):
               noises=None)
     api.evaluate(_inf(tmp_path / "seq"), res.adversarial_image,
                  batch_edits=False, **kw)
+    # spy on the dispatch to prove the cell axis is actually mesh-sharded
+    from tml_image_editing_defense_tpu.pipelines.img2img import Img2ImgPipeline
+
+    seen = {}
+    orig_edit_pairs = Img2ImgPipeline.edit_pairs
+
+    def spy(self, *a, **kws):
+        seen["sharding"] = kws.get("data_sharding")
+        return orig_edit_pairs(self, *a, **kws)
+
+    monkeypatch.setattr(Img2ImgPipeline, "edit_pairs", spy)
     api.evaluate(_inf(tmp_path / "bat"), res.adversarial_image,
                  batch_edits=True, **kw)
+    assert seen["sharding"] is not None
+    assert len(seen["sharding"].device_set) == 8
     # eval_batch_size=4 over 6 cells: exercises the padded tail chunk
     # (HBM-bounding micro-batches must not change any output)
     api.evaluate(_inf(tmp_path / "chk"), res.adversarial_image,
@@ -153,8 +170,11 @@ def test_negative_prompt_threads_e2e(img_file, tmp_path, tiny_model):
     # immunize: same seed, negative prompt flips the CFG uncond branch →
     # different adversarial image
     r0 = api.immunize(_train_cfg(img_file, tmp_path / "p0"), model=tiny_model)
+    # eot_shards=1: the batch-path comparison below is against the serial
+    # EOT stream — auto reps-sharding compiles a different program whose
+    # float association can flip a sign() at the ulp level (L∞ amplifies it)
     r1 = api.immunize(
-        _train_cfg(img_file, tmp_path / "p1", negative_prompt=neg),
+        _train_cfg(img_file, tmp_path / "p1", negative_prompt=neg, eot_shards=1),
         model=tiny_model,
     )
     assert np.asarray(r0.adversarial_image).shape == np.asarray(r1.adversarial_image).shape
@@ -194,6 +214,38 @@ def test_negative_prompt_threads_e2e(img_file, tmp_path, tiny_model):
     a = np.asarray(Image.open(sorted((tmp_path / "nbat").glob("*.png"))[0]))
     b = np.asarray(Image.open(sorted((tmp_path / "e0").glob("*.png"))[0]))
     assert not np.array_equal(a, b)
+
+    # batch path (ADVICE r2): immunize_batch must thread the same negative
+    # prompt into its bank — seed-replayed batch == serial immunize
+    cfgb = _train_cfg(img_file, tmp_path / "pb", negative_prompt=neg)
+    api.immunize_batch(cfgb, [img_file], model=tiny_model,
+                       seeds=[cfgb.seed], out_dirs=[tmp_path / "pb" / "o"])
+    a = np.asarray(Image.open(tmp_path / "p1" / "adversarial_image.png"))
+    b = np.asarray(Image.open(tmp_path / "pb" / "o" / "adversarial_image.png"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_immunize_reps_sharded_matches_serial(img_file, tmp_path, tiny_model):
+    """VERDICT r2 item 2: `immunize` on a multi-device host routes the PGD
+    step through the reps-sharded EOT (parallel/eot.py) automatically and
+    produces bit-identical artifacts to the single-device path."""
+    from tml_image_editing_defense_tpu.api import _reps_sharding
+
+    cfg_ser = _train_cfg(img_file, tmp_path / "ser", eot_shards=1)
+    cfg_shr = _train_cfg(img_file, tmp_path / "shr")     # auto
+    mesh, n = _reps_sharding(cfg_shr, None)
+    assert n == 2, "auto sharding should pick 2 shards for grad_reps=2 on 8 devices"
+
+    r_ser = api.immunize(cfg_ser, model=tiny_model)
+    r_shr = api.immunize(cfg_shr, model=tiny_model)
+    np.testing.assert_allclose(np.asarray(r_ser.x_adv), np.asarray(r_shr.x_adv),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(tmp_path / "ser" / "adversarial_image.png")),
+        np.asarray(Image.open(tmp_path / "shr" / "adversarial_image.png")),
+    )
+    # vis/history parity: the sharded step reports the same aux fields
+    assert r_shr.history and set(r_shr.history[0]) == set(r_ser.history[0])
 
 
 def test_transfer_perturbation_matches_reference_semantics():
@@ -357,6 +409,35 @@ def test_sweep_data_parallel_matches_serial(tmp_path, tiny_model, monkeypatch):
         pa = load_noise_pool(tmp_path / "serial" / cell / "noise.npz")
         pb = load_noise_pool(tmp_path / "par" / cell / "noise.npz")
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_immunize_batch_pads_to_mesh(tmp_path, tiny_model):
+    """VERDICT r2 item 9: 3 images on the 8-device mesh must shard over all
+    8 devices (batch padded with dummy problems, outputs dropped) and still
+    produce exactly the serial per-image artifacts via seed replay."""
+    imgs_dir = tmp_path / "imgs"
+    imgs_dir.mkdir()
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(3):
+        p = imgs_dir / f"im{i}.png"
+        Image.fromarray(rng.uniform(0, 255, (40, 40, 3)).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    cfg = _train_cfg(paths[0], tmp_path / "b")
+    debug = {}
+    seeds = [11, 22, 33]
+    res = api.immunize_batch(cfg, paths, model=tiny_model, seeds=seeds,
+                             debug_out=debug)
+    assert len(res) == 3
+    assert debug["mesh"] is not None
+    assert len(debug["sharding"].device_set) == 8   # padded batch uses all devices
+    for i, p in enumerate(paths):
+        scfg = _train_cfg(p, tmp_path / f"s{i}", seed=seeds[i], eot_shards=1)
+        r = api.immunize(scfg, model=tiny_model)
+        np.testing.assert_array_equal(
+            np.asarray(r.adversarial_image), np.asarray(res[i].adversarial_image)
+        )
 
 
 def test_immunize_sdxl_family(img_file, tmp_path):

@@ -89,18 +89,83 @@ def _train_attn_chunk(image_size: int) -> "int | None":
     return 512 if image_size >= 512 else None
 
 
+def _cfg_model(cfg, dtype, attn_kv_chunk="auto") -> DiffusionModel:
+    """Build the model a config describes.
+
+    With ``cfg.params_path`` set (a converted checkpoint from
+    ``scripts/prepare_real_weights.py``) the bundle loads real weights — the
+    offline analog of the reference's runtime ``from_pretrained``
+    (main.py:278-309).  Otherwise random weights (identical compute graph)."""
+    family = _default_family(cfg)
+    tok_paths = getattr(cfg, "tokenizer_paths", None)
+    if isinstance(tok_paths, (str, Path)):     # CLI passes a single string
+        tok_paths = [tok_paths]
+    params_path = getattr(cfg, "params_path", None)
+    model = build_model(
+        family, key=jax.random.key(cfg.seed), image_size=cfg.image_size,
+        dtype=dtype, attn_kv_chunk=attn_kv_chunk,
+        tokenizer_paths=tok_paths, fast_init=params_path is not None,
+    )
+    if params_path is not None:
+        from tml_image_editing_defense_tpu.models.checkpoint_io import load_params
+
+        params = load_params(Path(params_path), jax.device_get(model.params),
+                             dtype=dtype)
+        model = dataclasses.replace(model, params=params)
+    return model
+
+
+def _reps_sharding(cfg: TrainConfig, mesh):
+    """Resolve the EOT reps-axis sharding for :func:`immunize`.
+
+    Returns ``(mesh, n_shards)``; ``n_shards == 1`` means the serial step.
+    Auto (``cfg.eot_shards=None``): the largest divisor of ``grad_reps`` that
+    fits the local device count — on a single chip this is 1 and nothing
+    changes; on a multi-chip host the flagship single-image attack spreads
+    its gradient samples over the slice (VERDICT r2 item 2).
+    """
+    from tml_image_editing_defense_tpu.parallel.mesh import REPS_AXIS, make_mesh
+
+    if mesh is not None:
+        return mesh, mesh.shape[REPS_AXIS]
+    want = cfg.eot_shards
+    local = jax.local_devices()
+    if want is None:
+        want = max(
+            (d for d in range(1, min(len(local), cfg.grad_reps) + 1)
+             if cfg.grad_reps % d == 0),
+            default=1,
+        )
+    if want <= 1:
+        return None, 1
+    if cfg.grad_reps % want:
+        raise ValueError(
+            f"eot_shards={want} must divide grad_reps={cfg.grad_reps}"
+        )
+    if want > len(local):
+        raise ValueError(
+            f"eot_shards={want} exceeds local device count {len(local)}"
+        )
+    return make_mesh({REPS_AXIS: want}, devices=local[:want]), want
+
+
 def immunize(
     cfg: TrainConfig,
     model: Optional[DiffusionModel] = None,
     logger: Optional[MetricsLogger] = None,
     resume_from: Optional[Path] = None,
+    mesh=None,
 ) -> ImmunizeResult:
-    """PGD immunization of one image (reference Trainer.run, main.py:47-142)."""
+    """PGD immunization of one image (reference Trainer.run, main.py:47-142).
+
+    On a multi-chip host the EOT gradient samples are sharded over the mesh
+    ``reps`` axis automatically (``cfg.eot_shards``; parallel/eot.py — one
+    pmean over ICI replaces the reference's sequential grad_reps loop,
+    main.py:88-102).  Pass ``mesh`` to supply an explicit reps mesh."""
     dtype = jnp.dtype(cfg.dtype)
     if model is None:
-        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
-                            image_size=cfg.image_size, dtype=dtype,
-                            attn_kv_chunk=_train_attn_chunk(cfg.image_size))
+        model = _cfg_model(cfg, dtype,
+                           attn_kv_chunk=_train_attn_chunk(cfg.image_size))
     if logger is None:
         logger = MetricsLogger(name=cfg.experiment_name, config=cfg.asdict(),
                                output_dir=cfg.output_path)
@@ -193,13 +258,22 @@ def immunize(
         if cfg.checkpoint_interval and it and it % cfg.checkpoint_interval == 0:
             save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
 
+    reps_mesh, n_shards = _reps_sharding(cfg, mesh)
+    step_fn = None
+    if n_shards > 1:
+        from tml_image_editing_defense_tpu.parallel.eot import (
+            make_sharded_eot_pgd_step,
+        )
+
+        step_fn = make_sharded_eot_pgd_step(model, sampler, plan, cfg, reps_mesh)
+
     from tml_image_editing_defense_tpu.utils.preemption import preemption_guard
 
     with preemption_guard() as preempted:
         x_adv, history = run_pgd(
             model, sampler, plan, cfg, data, loop_key,
             x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
-            stop_flag=preempted,
+            stop_flag=preempted, step_fn=step_fn, mesh=reps_mesh,
         )
     if preempted:
         # checkpoint so a relaunch resumes (the handling the reference's
@@ -256,22 +330,21 @@ def immunize_batch(
 
     dtype = jnp.dtype(cfg.dtype)
     if model is None:
-        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
-                            image_size=cfg.image_size, dtype=dtype,
-                            attn_kv_chunk=_train_attn_chunk(cfg.image_size))
+        model = _cfg_model(cfg, dtype,
+                           attn_kv_chunk=_train_attn_chunk(cfg.image_size))
     if logger is None:
         logger = MetricsLogger(name=f"{cfg.experiment_name}_batch",
                                config=cfg.asdict(), output_dir=cfg.output_path)
     # Auto-mesh over LOCAL devices: in the multi-host sweep tier the image
     # list is host-sharded (scripts/launch_tpu_pod.sh), so each process runs
-    # its own local-mesh program — no tensor traffic crosses DCN.
+    # its own local-mesh program — no tensor traffic crosses DCN.  When the
+    # image count doesn't divide the device count the batch axis is PADDED
+    # with dummy problems (outputs dropped) instead of shrinking the mesh:
+    # 3 images on an 8-chip host run one step-time, not three (VERDICT r2
+    # item 9).
     local = jax.local_devices()
     if mesh is None and len(local) > 1:
-        n = len(local)
-        while len(image_paths) % n:
-            n //= 2
-        if n > 1:
-            mesh = make_mesh({DATA_AXIS: n}, devices=local)
+        mesh = make_mesh({DATA_AXIS: len(local)}, devices=local)
 
     ks = _KS(cfg.seed)
     sampler = make_sampler(
@@ -281,7 +354,9 @@ def immunize_batch(
         cfg.n_denoising_steps_per_iteration,
         limit_t=700 if cfg.limit_timesteps else None,
     )
-    bank = model.embed_prompt_bank([format_prompt(p) for p in cfg.prompts])
+    bank = model.embed_prompt_bank(
+        [format_prompt(p) for p in cfg.prompts], cfg.negative_prompt
+    )
     # per-image targets; default = the image itself (sweep semantics,
     # run_all.py:45-46 passes target_image_path=image_path)
     if targets is None:
@@ -305,11 +380,21 @@ def immunize_batch(
         pools.append(pool)
         if per_image_ks is not None:
             loop_keys.append(iks.next())
+    if per_image_ks is None:
+        loop_keys = [ks.next() for _ in image_paths]
+
+    # pad the batch axis to a multiple of the data-axis size; padded rows
+    # replay the last image (their outputs are discarded below)
+    n_pad = 0
+    if mesh is not None:
+        n_pad = (-len(image_paths)) % mesh.shape[DATA_AXIS]
+    for _ in range(n_pad):
+        datas.append(datas[-1])
+        sources.append(sources[-1])
+        loop_keys.append(loop_keys[-1])
     batched = batch_attack_data(datas)
 
     loop = make_batched_pgd_loop(model, sampler, plan, cfg, batched, mesh=mesh)
-    if per_image_ks is None:
-        loop_keys = [ks.next() for _ in image_paths]
     keys = jnp.stack(loop_keys)
     x_advs, hist = loop(model.params, jnp.stack(sources), batched, keys)
     if debug_out is not None:
@@ -379,13 +464,17 @@ def evaluate(
     transiently materializes f32 score tensors per self-attn layer, so big
     batches OOM one v5e at 512² f32 (all 19 pairs: 20 GB, measured);
     chunks are padded to a fixed size so exactly one program is compiled.
-    Measured dispatch economics are in docs/PERF.md."""
+    Measured dispatch economics are in docs/PERF.md.
+
+    On a multi-chip host the cell axis is additionally sharded over the mesh
+    ``data`` axis (``cfg.eval_shards``; cells are independent — zero
+    collectives), so each dispatch covers ``eval_batch_size × n_shards``
+    cells with ``eval_batch_size`` resident per chip."""
     del training_prompts  # accepted for signature parity; unused (main.py:469)
     dtype = jnp.dtype(cfg.dtype)
     inference_prompts = list(inference_prompts or INFERENCE_PROMPTS)
     if model is None:
-        model = build_model(_default_family(cfg), key=jax.random.key(cfg.seed),
-                            image_size=cfg.image_size, dtype=dtype)
+        model = _cfg_model(cfg, dtype)
     if logger is None:
         logger = MetricsLogger(name=cfg.experiment_name, config=cfg.asdict(),
                                output_dir=cfg.output_path)
@@ -436,6 +525,21 @@ def evaluate(
                               jnp.concatenate([fresh, pinned]), ks.next()))
         return cells
 
+    # multi-chip: shard the independent (prompt × noise) cells over the mesh
+    # ``data`` axis; per-chip residency stays eval_batch_size (VERDICT r2
+    # item 6 — the reference runs these sequentially, main.py:469-521)
+    n_shards = cfg.eval_shards
+    if n_shards is None:
+        n_shards = len(jax.local_devices())
+    eval_sharding = None
+    if batch_edits and n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        eval_mesh = make_mesh({DATA_AXIS: n_shards},
+                              devices=jax.local_devices()[:n_shards])
+        eval_sharding = NamedSharding(eval_mesh, PartitionSpec(DATA_AXIS))
+
     def run_cells(cells, clean_img, adv_img):
         """All double-edits for one image: a single vmapped dispatch when
         ``batch_edits`` (P× fewer dispatches than the reference's sequential
@@ -449,9 +553,11 @@ def evaluate(
             negative_aesthetic_score=cfg.negative_aesthetic_score,
         )
         if batch_edits:
-            # chunk to bound HBM; pad the tail chunk to eval_batch_size so a
-            # single program serves every dispatch
+            # chunk to bound HBM (per chip); pad the tail chunk so a single
+            # program serves every dispatch
             B = max(1, min(eval_batch_size, len(cells)))
+            if eval_sharding is not None:
+                B *= n_shards
             chunks = []
             for i in range(0, len(cells), B):
                 part = cells[i:i + B]
@@ -465,6 +571,7 @@ def evaluate(
                     num_inference_steps=cfg.n_steps,
                     guidance_scale=cfg.guidance_scale,
                     strength=cfg.strength,
+                    data_sharding=eval_sharding,
                     **sdxl_kw,
                 )
                 chunks.append(np.asarray(jax.device_get(o))[:len(part)])
@@ -594,9 +701,9 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
     two-GPU split (run_all.py:16-21) with real ICI data parallelism.
     """
     if image_paths is None:
-        image_paths = sorted(
-            p for p in Path(cfg.images_dir).glob("*") if p.suffix in (".jpg", ".png", ".jpeg")
-        )
+        from tml_image_editing_defense_tpu.parallel.hosts import list_sweep_images
+
+        image_paths = list_sweep_images(cfg.images_dir)
     cells = _sweep_cells(cfg, image_paths, train_overrides)
     for cell in cells:
         cell["dir"].mkdir(parents=True, exist_ok=True)
@@ -614,7 +721,14 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
         for group in groups.values():
             if len(group) == 1:
                 cell = group[0]
-                res = immunize(cell["train_cfg"], model=model)
+                # eot_shards=1: keep sweep artifacts identical between the
+                # serial and data-parallel modes regardless of group size
+                # (reps-sharding changes gradient-sum association); override
+                # via train_overrides=dict(eot_shards=N) when wanted.
+                res = immunize(
+                    dataclasses.replace(cell["train_cfg"], eot_shards=1),
+                    model=model,
+                )
                 model = res.model
                 continue
             batch_cfg = group[0]["train_cfg"]
@@ -633,7 +747,9 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
             )
     else:
         for cell in cells:
-            res = immunize(cell["train_cfg"], model=model)
+            res = immunize(
+                dataclasses.replace(cell["train_cfg"], eot_shards=1), model=model
+            )
             model = res.model      # reuse across cells
 
     # Evaluation per cell (artifact round-trip, run_all.py:62-66)

@@ -213,6 +213,13 @@ class TrainConfig:
     #: higher MXU utilization, ×chunk activation memory.  Must divide
     #: grad_reps.
     eot_chunk: int = 1
+    #: Shard the EOT gradient samples over the mesh ``reps`` axis
+    #: (parallel/eot.py, pmean over ICI).  None = auto: on a multi-chip host
+    #: :func:`api.immunize` uses the largest divisor of ``grad_reps`` that
+    #: fits the local device count; 1 disables sharding; N forces N shards
+    #: (must divide grad_reps).  This is how one image's 10-rep SDXL attack
+    #: spreads over a chip slice — the reference has no analog (single GPU).
+    eot_shards: Optional[int] = None
     #: Rematerialization policy for the denoising scan body:
     #: What the backward pass recomputes inside each denoise step:
     #: "none" (no checkpoint — attention is always internally remat'd, so
@@ -237,6 +244,14 @@ class TrainConfig:
     enable_visualization: bool = True
     #: Optional PGD-state checkpointing every N steps (0 = off).
     checkpoint_interval: int = 0
+    #: Converted real-weight checkpoint (msgpack from
+    #: scripts/prepare_real_weights.py).  None = random weights (same compute
+    #: graph; what tests/bench use).  This is the offline analog of the
+    #: reference's runtime ``from_pretrained`` (main.py:278-309).
+    params_path: Optional[Path] = None
+    #: Local HF tokenizer directories (one per text encoder; None entries or
+    #: None = deterministic hash tokenizer fallback).
+    tokenizer_paths: Optional[List[Optional[str]]] = None
 
     def __post_init__(self):
         self.source_image_path = Path(self.source_image_path)
@@ -305,6 +320,15 @@ class InferenceConfig:
     # --- TPU-native knobs ---
     dtype: str = "float32"
     save_images: bool = True
+    #: Shard the (prompt × noise) evaluation cells over the mesh ``data``
+    #: axis (cells are independent pipeline pairs — embarrassingly parallel,
+    #: reference runs them sequentially at main.py:469-521).  None = auto
+    #: (all local devices); 1 disables sharding.
+    eval_shards: Optional[int] = None
+    #: Converted real-weight checkpoint + local tokenizer dirs (see
+    #: TrainConfig.params_path / scripts/prepare_real_weights.py).
+    params_path: Optional[Path] = None
+    tokenizer_paths: Optional[List[Optional[str]]] = None
 
     def __post_init__(self):
         self.source_image_path = Path(self.source_image_path)

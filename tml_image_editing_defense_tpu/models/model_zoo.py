@@ -296,7 +296,12 @@ def build_model(
     texts = tuple(CLIPTextModel(c, dtype=dtype) for c in text_cfgs)
 
     if tokenizer_paths is None:
-        tokenizer_paths = [None] * len(text_cfgs)
+        tokenizer_paths = []
+    # pad with None (hash fallback) when fewer paths than text encoders are
+    # given — e.g. one local CLIP-L tokenizer dir for SDXL's dual encoders
+    tokenizer_paths = (
+        list(tokenizer_paths) + [None] * (len(text_cfgs) - len(tokenizer_paths))
+    )
     toks = tuple(
         load_tokenizer(p, vocab_size=c.vocab_size, max_length=c.max_length)
         for p, c in zip(tokenizer_paths, text_cfgs)

@@ -227,9 +227,16 @@ class Img2ImgPipeline:
         denoising_end: Optional[float] = None,
         aesthetic_score: Optional[float] = None,
         negative_aesthetic_score: Optional[float] = None,
+        data_sharding=None,
     ) -> jnp.ndarray:
         """Batched (clean, adv) double-edits: one jitted dispatch for all P
-        cells.  Returns [P, 2, H, W, 3] in [0, 1]."""
+        cells.  Returns [P, 2, H, W, 3] in [0, 1].
+
+        ``data_sharding`` (a ``NamedSharding`` partitioning dim 0): cells are
+        independent, so sharding the cell axis over a mesh ``data`` axis
+        splits the dispatch across chips with zero collectives — the
+        multi-chip tier of the reference's sequential 19 × n_noise eval loop
+        (main.py:469-521)."""
         P = len(prompts)
         assert pair_images.shape[0] == P and keys.shape[0] == P
         ctxs, tes, tidss = [], [], []
@@ -246,15 +253,19 @@ class Img2ImgPipeline:
         vgen, plan = self._pairs_core(
             (num_inference_steps, float(strength), None, denoising_end, False)
         )
-        return vgen(
-            self.model.params,
+        args = [
             pair_images.astype(self.dtype),
             ctx.astype(self.dtype),
             te,
             tids,
             pair_noises.astype(self.dtype),
             keys,
-            jnp.asarray(guidance_scale, self.dtype),
+        ]
+        if data_sharding is not None:
+            args = [None if a is None else jax.device_put(a, data_sharding)
+                    for a in args]
+        return vgen(
+            self.model.params, *args, jnp.asarray(guidance_scale, self.dtype)
         )
 
 
