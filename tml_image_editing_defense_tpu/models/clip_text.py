@@ -52,7 +52,9 @@ TINY_TEXT = CLIPTextConfig(
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # transformers "gelu" = exact erf form (OpenCLIP-bigG / SDXL encoder 2);
+    # flax's default is the tanh approximation, ~4e-4 off.
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPLayer(nn.Module):

@@ -141,8 +141,16 @@ def _chunked_attention(q, k, v, kv_chunk: int):
         kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
         vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
         ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
+        # preferred_element_type=f32: the MXU accumulates in f32 either way,
+        # but without it the einsum result is rounded to bf16 before the
+        # softmax — the f32-softmax numerics the docstring promises would be
+        # silently weakened (ADVICE r2).
         logits = (
-            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
+            jnp.einsum(
+                "bthd,bchd->bthc", q, kcb,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
         )
         logits = jnp.where(ok[None, None, None, :], logits, -1e30)
         m_new = jnp.maximum(m, logits.max(axis=-1))
@@ -227,7 +235,9 @@ class FeedForward(nn.Module):
         inner = dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers' GEGLU calls torch F.gelu with the
+        # default exact form; flax's tanh-approx default deviates ~4e-4.
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
 
 
