@@ -4,6 +4,7 @@ kernels compile natively on TPU — exercised by bench.py / TID_TEST_TPU=1)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tml_image_editing_defense_tpu.attack.pgd import (
     l2_perturbation_step,
@@ -100,3 +101,40 @@ def test_kernels_under_vmap():
         for i in range(B)
     ])
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_matches_chunked_on_tpu():
+    """The Pallas flash-attention alternative (`layers.LONG_ATTENTION_IMPL=
+    "flash"`) must agree with the chunked online-softmax path — forward and
+    input-grads.  TPU-only (the bundled kernel has no CPU lowering); run with
+    TID_TEST_TPU=1 on a chip."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas TPU flash-attention kernel needs a TPU backend")
+    from tml_image_editing_defense_tpu.models.layers import (
+        _chunked_attention,
+        _flash_attention,
+    )
+
+    for d in (40, 64):                      # SD-1.5 head dim 40 is unaligned
+        k1, k2, k3 = jax.random.split(jax.random.key(d), 3)
+        q = jax.random.normal(k1, (2, 2048, 4, d), jnp.bfloat16)
+        k = jax.random.normal(k2, (2, 2048, 4, d), jnp.bfloat16)
+        v = jax.random.normal(k3, (2, 2048, 4, d), jnp.bfloat16)
+
+        def loss_c(q, k, v):
+            return jnp.sum(_chunked_attention(q, k, v, 512) ** 2)
+
+        def loss_f(q, k, v):
+            return jnp.sum(_flash_attention(q, k, v) ** 2)
+
+        oc = _chunked_attention(q, k, v, 512)
+        of = _flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(oc, np.float32),
+                                   np.asarray(of, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gc, gf):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-1, atol=1e-1)

@@ -120,8 +120,11 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     Here each scan step touches only a [B,T,H,C] slab (C = ``kv_chunk``)
     and the checkpointed body recomputes it per chunk in the backward.
 
-    Numerics: logits and accumulators in f32 (matching the fused kernel's
-    f32 softmax), output cast back to the query dtype.
+    Numerics: softmax stats and accumulators in f32; on bf16 inputs the
+    logits themselves round through bf16 once at the MXU boundary (see the
+    in-kernel comment — keeping the einsum in the input dtype is what keeps
+    the backward matmuls bf16; fused-path agreement is ~2e-2 in bf16 and
+    exact in f32).
     """
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -141,16 +144,16 @@ def _chunked_attention(q, k, v, kv_chunk: int):
         kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
         vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
         ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
-        # preferred_element_type=f32: the MXU accumulates in f32 either way,
-        # but without it the einsum result is rounded to bf16 before the
-        # softmax — the f32-softmax numerics the docstring promises would be
-        # silently weakened (ADVICE r2).
+        # Logits deliberately leave the MXU in the INPUT dtype and are only
+        # then upcast: with preferred_element_type=f32 the einsum's VJP
+        # receives an f32 cotangent and the dQ/dK backward matmuls run as
+        # f32 MXU ops — measured on-chip at 2.51 s/PGD-step vs 1.7 with the
+        # bf16 path (MFU 24% vs 35%).  So on bf16 inputs the logits are
+        # rounded to bf16 once before the f32 softmax/stats below; the
+        # fused-path parity tests hold at 2e-2 in bf16 (exact in f32, where
+        # the torch-oracle tests run).
         logits = (
-            jnp.einsum(
-                "bthd,bchd->bthc", q, kcb,
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
         )
         logits = jnp.where(ok[None, None, None, :], logits, -1e30)
         m_new = jnp.maximum(m, logits.max(axis=-1))
@@ -173,10 +176,41 @@ def _chunked_attention(q, k, v, kv_chunk: int):
 #: chunking on tiny models).
 MIN_CHUNKED_SEQ = 2048
 
+#: Long-sequence attention implementation: "chunked" (the online-softmax
+#: scan above) or "flash" (jax's bundled Pallas TPU flash-attention kernel,
+#: fwd + custom-VJP bwd — one kernel instead of an 8-step scan).  Module
+#: state so perf experiments can flip it without re-plumbing configs
+#: (override with env TID_ATTN_IMPL; in-program measurements in
+#: docs/PERF.md decide the default).
+import os as _os
+
+LONG_ATTENTION_IMPL = _os.environ.get("TID_ATTN_IMPL", "chunked")
+
+
+def _flash_attention(q, k, v):
+    """jax bundled Pallas TPU flash attention over [B,T,H,D] inputs.
+
+    Head dims below 128 (SD-1.5 self-attn: 40/80) are lane-padded inside
+    the kernel — extra MXU FLOPs on the QK/PV contractions, but the score
+    matrix never touches HBM and the whole attention is one pipelined
+    kernel with an analytic backward (vs the chunk scan's per-chunk
+    recompute + dynamic-slice traffic)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    d = q.shape[-1]
+    o = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        sm_scale=1.0 / math.sqrt(d),
+    )
+    return o.transpose(0, 2, 1, 3)
+
 
 def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
-    """Attention dispatcher: chunked online-softmax when ``kv_chunk`` is set
-    and the KV axis is long enough to matter; XLA's fused path otherwise.
+    """Attention dispatcher: chunked online-softmax (or the Pallas flash
+    kernel — ``LONG_ATTENTION_IMPL``) when ``kv_chunk`` is set and the KV
+    axis is long enough to matter; XLA's fused path otherwise.
 
     The floor (S ≥ max(2·chunk, 2048)) keeps short sequences — cross-attn
     S=77, SDXL-at-512²'s T=1024 self-attn — on the fused kernel, where the
@@ -187,6 +221,8 @@ def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
     2.42 → 1.74 s (docs/PERF.md).
     """
     if kv_chunk and mask is None and k.shape[1] >= max(2 * kv_chunk, MIN_CHUNKED_SEQ):
+        if LONG_ATTENTION_IMPL == "flash" and q.shape[1] == k.shape[1]:
+            return _flash_attention(q, k, v)
         return _chunked_attention(q, k, v, kv_chunk)
     return _remat_attention(q, k, v, mask)
 
