@@ -138,3 +138,116 @@ def test_flash_attention_matches_chunked_on_tpu():
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=1e-1, atol=1e-1)
+
+
+# ---------------------------------------------------------------------------
+# custom Pallas flash attention (ops/flash_attention.py) — CPU interpret mode
+# ---------------------------------------------------------------------------
+
+
+def _ref_attention(q, k, v):
+    import math
+
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("shape", [(2, 512, 8, 40), (1, 256, 4, 80),
+                                   (2, 512, 2, 128)])
+def test_custom_flash_attention_matches_reference(shape):
+    """ops.flash_attention fwd + all three input-grads vs plain softmax
+    attention in f32 (interpret mode; same kernel compiles on TPU)."""
+    from tml_image_editing_defense_tpu.ops.flash_attention import (
+        flash_attention,
+        supports,
+    )
+
+    b, t, h, d = shape
+    assert supports(shape, t, False)
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(d + t), 4)
+    q = jax.random.normal(k1, shape, jnp.float32)
+    k = jax.random.normal(k2, shape, jnp.float32)
+    v = jax.random.normal(k3, shape, jnp.float32)
+    g = jax.random.normal(k4, shape, jnp.float32)
+    np.testing.assert_allclose(np.asarray(flash_attention(q, k, v)),
+                               np.asarray(_ref_attention(q, k, v)),
+                               rtol=1e-5, atol=1e-5)
+    gf = jax.grad(lambda *a: jnp.vdot(flash_attention(*a), g),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.vdot(_ref_attention(*a), g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_custom_flash_attention_bf16_close_to_f32_reference():
+    shape = (1, 512, 4, 40)
+    from tml_image_editing_defense_tpu.ops.flash_attention import flash_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(k1, shape, jnp.bfloat16)
+    k = jax.random.normal(k2, shape, jnp.bfloat16)
+    v = jax.random.normal(k3, shape, jnp.bfloat16)
+    got = np.asarray(flash_attention(q, k, v), np.float32)
+    want = np.asarray(
+        _ref_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                       v.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_custom_flash_dispatch_and_fallback():
+    """LONG_ATTENTION_IMPL='pallas' routes supported self-attention through
+    the custom kernel and falls back to chunked for unsupported shapes
+    (cross-attention S != T) with identical results either way."""
+    import tml_image_editing_defense_tpu.models.layers as L
+
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(k1, (1, 512, 4, 40), jnp.float32)
+    kv = jax.random.normal(k2, (1, 512, 4, 40), jnp.float32)
+    ctx = jax.random.normal(k3, (1, 77, 4, 40), jnp.float32)
+    old_impl, old_min = L.LONG_ATTENTION_IMPL, L.MIN_CHUNKED_SEQ
+    try:
+        L.MIN_CHUNKED_SEQ = 256
+        L.LONG_ATTENTION_IMPL = "chunked"
+        want_self = L.scaled_attention(q, kv, kv, kv_chunk=128)
+        want_cross = L.scaled_attention(q, ctx, ctx, kv_chunk=128)
+        L.LONG_ATTENTION_IMPL = "pallas"
+        got_self = L.scaled_attention(q, kv, kv, kv_chunk=128)
+        got_cross = L.scaled_attention(q, ctx, ctx, kv_chunk=128)
+    finally:
+        L.LONG_ATTENTION_IMPL, L.MIN_CHUNKED_SEQ = old_impl, old_min
+    np.testing.assert_allclose(np.asarray(got_self), np.asarray(want_self),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_cross), np.asarray(want_cross))
+
+
+def test_custom_flash_attention_matches_chunked_on_tpu():
+    """Compiled (non-interpret) custom kernel vs the chunked scan in bf16 at
+    a real SD shape — fwd + input-grads.  Run with TID_TEST_TPU=1 on chip."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled Pallas kernel needs a TPU backend")
+    from tml_image_editing_defense_tpu.models.layers import _chunked_attention
+    from tml_image_editing_defense_tpu.ops.flash_attention import flash_attention
+
+    for shape in [(2, 2048, 4, 40), (1, 1024, 1, 512)]:
+        k1, k2, k3 = jax.random.split(jax.random.key(shape[-1]), 3)
+        q = jax.random.normal(k1, shape, jnp.bfloat16)
+        k = jax.random.normal(k2, shape, jnp.bfloat16)
+        v = jax.random.normal(k3, shape, jnp.bfloat16)
+        oc = _chunked_attention(q, k, v, 512)
+        of = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(oc, np.float32),
+                                   np.asarray(of, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+        gc = jax.grad(lambda *a: jnp.sum(_chunked_attention(*a, 512) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gc, gf):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-1, atol=1e-1)

@@ -223,6 +223,11 @@ def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
     if kv_chunk and mask is None and k.shape[1] >= max(2 * kv_chunk, MIN_CHUNKED_SEQ):
         if LONG_ATTENTION_IMPL == "flash" and q.shape[1] == k.shape[1]:
             return _flash_attention(q, k, v)
+        if LONG_ATTENTION_IMPL == "pallas":
+            from tml_image_editing_defense_tpu.ops import flash_attention as _fa
+
+            if _fa.supports(q.shape, k.shape[1], False):
+                return _fa.flash_attention(q, k, v)
         return _chunked_attention(q, k, v, kv_chunk)
     return _remat_attention(q, k, v, mask)
 
