@@ -153,6 +153,46 @@ def test_chunked_attention_matches_fused():
             rtol=tol * 5, atol=tol * 5)
 
 
+def test_chunked_attention_cv_matches_autodiff():
+    """The flash-2 custom-VJP variant must reproduce _chunked_attention's
+    forward bit-for-bit (same scan) and its autodiff gradients for all
+    three inputs — exact in f32, bf16-rounding-close in bf16 — including
+    the ragged-last-chunk pad path."""
+    from tml_image_editing_defense_tpu.models.layers import (
+        _chunked_attention,
+        _chunked_attention_cv,
+    )
+
+    key = jax.random.key(3)
+    for b, t, s, h, d, chunk, dt in [
+        (2, 64, 64, 4, 16, 16, jnp.float32),
+        (1, 100, 100, 1, 32, 24, jnp.float32),   # pad path
+        (2, 64, 77, 4, 16, 32, jnp.float32),     # cross-shaped S != T
+        (2, 64, 64, 4, 16, 16, jnp.bfloat16),
+    ]:
+        kq, kk, kv, kg = jax.random.split(jax.random.fold_in(key, d + s), 4)
+        q = jax.random.normal(kq, (b, t, h, d), dt)
+        k = jax.random.normal(kk, (b, s, h, d), dt)
+        v = jax.random.normal(kv, (b, s, h, d), dt)
+        g = jax.random.normal(kg, (b, t, h, d), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(_chunked_attention_cv(q, k, v, chunk)),
+            np.asarray(_chunked_attention(q, k, v, chunk)))
+        ga = jax.grad(
+            lambda *a: jnp.vdot(
+                _chunked_attention(*a, chunk).astype(jnp.float32), g),
+            argnums=(0, 1, 2))(q, k, v)
+        gc = jax.grad(
+            lambda *a: jnp.vdot(
+                _chunked_attention_cv(*a, chunk).astype(jnp.float32), g),
+            argnums=(0, 1, 2))(q, k, v)
+        tol = 2e-2 if dt == jnp.bfloat16 else 1e-5
+        for a_, c_ in zip(ga, gc):
+            np.testing.assert_allclose(
+                np.asarray(c_, np.float32), np.asarray(a_, np.float32),
+                rtol=tol, atol=tol)
+
+
 def test_attn_kv_chunk_builds_equivalent_model(monkeypatch):
     """A model built with attn_kv_chunk set computes the same UNet output
     (the chunked path is a pure implementation detail).  The dispatch floor

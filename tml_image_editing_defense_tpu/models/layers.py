@@ -22,6 +22,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -172,19 +173,132 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     return (acc / l[..., None]).astype(q.dtype)
 
 
+def _chunked_attention_fwd_lse(q, k, v, kv_chunk: int):
+    """The same online-softmax chunk scan as :func:`_chunked_attention`,
+    additionally returning the log-sum-exp rows ``lse = m + log l``
+    ([B,T,H] f32) — the residual the flash-2 backward needs."""
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    n = -(-s // kv_chunk)
+    pad = n * kv_chunk - s
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    scale = 1.0 / math.sqrt(d)
+
+    def body(carry, idx):
+        m, l, acc = carry
+        kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
+        vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
+        ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
+        logits = (
+            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
+        )
+        logits = jnp.where(ok[None, None, None, :], logits, -1e30)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bthc,bchd->bthd", p.astype(vcb.dtype), vcb
+        ).astype(jnp.float32)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, t, h), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, t, h), jnp.float32)
+    acc0 = jnp.zeros((b, t, h, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n))
+    return (acc / l[..., None]).astype(q.dtype), m + jnp.log(l)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _chunked_attention_cv(q, k, v, kv_chunk: int):
+    """:func:`_chunked_attention` with a hand-written flash-2 backward.
+
+    ``jax.checkpoint`` around the chunk body makes autodiff replay the whole
+    online-softmax forward (max/rescale chains and all) and then
+    differentiate it — carrying f32 cotangents for m/l/acc through the
+    scan.  The analytic backward (Dao, FlashAttention-2) instead saves only
+    ``(o, lse)`` from the forward and per chunk recomputes the normalized
+    probabilities ``p = exp(s − lse)`` directly, emitting
+
+        dV_c = pᵀ·dO,   dS = p ∘ (dO·V_cᵀ − Δ),   Δ = rowsum(dO ∘ O),
+        dQ  += dS·K_c,  dK_c = dSᵀ·Q
+
+    — 5 matmuls/chunk vs the replay's ~6 plus the softmax-chain overhead.
+    Forward numerics are bit-identical to :func:`_chunked_attention` (same
+    scan, same input-dtype logits einsum — see the comment there); the
+    backward is the exact gradient of that forward, computed in f32 stats
+    with bf16 MXU matmuls, so it matches autodiff to bf16 rounding.
+    """
+    o, _ = _chunked_attention_fwd_lse(q, k, v, kv_chunk)
+    return o
+
+
+def _chunked_cv_fwd(q, k, v, kv_chunk):
+    o, lse = _chunked_attention_fwd_lse(q, k, v, kv_chunk)
+    return o, (q, k, v, o, lse)
+
+
+def _chunked_cv_bwd(kv_chunk, res, g):
+    q, k, v, o, lse = res
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    n = -(-s // kv_chunk)
+    pad = n * kv_chunk - s
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    scale = 1.0 / math.sqrt(d)
+    # Δ rows: f32, tiny.  p below is already normalized (exp(s − lse)).
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    g_in = g.astype(q.dtype)
+
+    def body(dq_acc, idx):
+        kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
+        vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
+        ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
+        logits = (
+            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
+        )
+        logits = jnp.where(ok[None, None, None, :], logits, -1e30)
+        p = jnp.exp(logits - lse[..., None])                   # f32, rows sum to 1
+        dv_c = jnp.einsum("bthc,bthd->bchd", p.astype(g_in.dtype), g_in)
+        dp = jnp.einsum("bthd,bchd->bthc", g_in, vcb).astype(jnp.float32)
+        ds = (p * (dp - delta[..., None]) * scale).astype(q.dtype)
+        dq_acc = dq_acc + jnp.einsum("bthc,bchd->bthd", ds, kcb).astype(
+            jnp.float32
+        )
+        dk_c = jnp.einsum("bthc,bthd->bchd", ds, q)
+        return dq_acc, (dk_c, dv_c)
+
+    dq0 = jnp.zeros((b, t, h, d), jnp.float32)
+    dq, (dk, dv) = jax.lax.scan(body, dq0, jnp.arange(n))
+    # [n, B, C, H, D] → [B, n·C, H, D], drop pad rows
+    dk = dk.transpose(1, 0, 2, 3, 4).reshape(b, n * kv_chunk, h, d)[:, :s]
+    dv = dv.transpose(1, 0, 2, 3, 4).reshape(b, n * kv_chunk, h, d)[:, :s]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_chunked_attention_cv.defvjp(_chunked_cv_fwd, _chunked_cv_bwd)
+
+
 #: Minimum KV length for the chunked path (tests lower it to exercise
 #: chunking on tiny models).
 MIN_CHUNKED_SEQ = 2048
 
-#: Long-sequence attention implementation: "chunked" (the online-softmax
-#: scan above) or "flash" (jax's bundled Pallas TPU flash-attention kernel,
-#: fwd + custom-VJP bwd — one kernel instead of an 8-step scan).  Module
-#: state so perf experiments can flip it without re-plumbing configs
+#: Long-sequence attention implementation:
+#:   "chunked_cv" — the online-softmax scan with the hand-written flash-2
+#:                  backward above (default; measured fastest in-program),
+#:   "chunked"    — same forward, jax.checkpoint-replay autodiff backward,
+#:   "flash"      — jax's bundled Pallas TPU flash-attention kernel,
+#:   "pallas"     — our custom Pallas kernel (ops/flash_attention.py).
+#: Module state so perf experiments can flip it without re-plumbing configs
 #: (override with env TID_ATTN_IMPL; in-program measurements in
 #: docs/PERF.md decide the default).
 import os as _os
 
-LONG_ATTENTION_IMPL = _os.environ.get("TID_ATTN_IMPL", "chunked")
+LONG_ATTENTION_IMPL = _os.environ.get("TID_ATTN_IMPL", "chunked_cv")
 
 
 def _flash_attention(q, k, v):
@@ -228,6 +342,8 @@ def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
 
             if _fa.supports(q.shape, k.shape[1], False):
                 return _fa.flash_attention(q, k, v)
+        if LONG_ATTENTION_IMPL == "chunked_cv":
+            return _chunked_attention_cv(q, k, v, kv_chunk)
         return _chunked_attention(q, k, v, kv_chunk)
     return _remat_attention(q, k, v, mask)
 
