@@ -79,10 +79,14 @@ def test_cli_flag_generation_and_bool_parsing():
 
     p = cli.argparse.ArgumentParser()
     cli._add_dataclass_args(p, TrainConfig)
-    args = p.parse_args(["--use-lcm", "0", "--use-sdxl", "TRUE", "--seed", "7"])
+    args = p.parse_args(["--use-lcm", "0", "--use-sdxl", "TRUE", "--seed", "7",
+                         "--eot-shards", "2"])
     assert args.use_lcm is False
     assert args.use_sdxl is True
     assert args.seed == 7
+    # Optional[int] fields (default None) must parse as int, not str —
+    # api._reps_sharding compares eot_shards against device counts
+    assert args.eot_shards == 2
     for f in dataclasses.fields(TrainConfig):
         if f.name in cli._SKIP_FIELDS:
             continue

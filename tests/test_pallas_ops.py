@@ -225,6 +225,21 @@ def test_custom_flash_dispatch_and_fallback():
     np.testing.assert_array_equal(np.asarray(got_cross), np.asarray(want_cross))
 
 
+def test_unknown_attention_impl_raises():
+    """A typo'd TID_ATTN_IMPL must error, not silently run a different
+    implementation — the knob exists for perf measurements."""
+    import tml_image_editing_defense_tpu.models.layers as L
+
+    q = jnp.ones((1, 4096, 2, 8), jnp.float32)
+    old_impl = L.LONG_ATTENTION_IMPL
+    try:
+        L.LONG_ATTENTION_IMPL = "flash2"
+        with pytest.raises(ValueError, match="TID_ATTN_IMPL"):
+            L.scaled_attention(q, q, q, kv_chunk=512)
+    finally:
+        L.LONG_ATTENTION_IMPL = old_impl
+
+
 def test_custom_flash_attention_matches_chunked_on_tpu():
     """Compiled (non-interpret) custom kernel vs the chunked scan in bf16 at
     a real SD shape — fwd + input-grads.  Run with TID_TEST_TPU=1 on chip."""

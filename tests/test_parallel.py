@@ -75,6 +75,24 @@ def test_sharded_eot_matches_single_device(setup):
     )
 
 
+def test_sharded_eot_honors_remat_vae(setup):
+    """remat_vae must change only memory scheduling, never the math: the
+    sharded step with the checkpointed VAE encode still matches the serial
+    step (regression: the sharded path used to silently drop the knob, so
+    1024² configs that fit under the serial step could OOM multi-chip)."""
+    model, cfg, sampler, plan, bank = setup
+    cfg = dataclasses.replace(cfg, remat_vae=True)
+    data, src = _one_data(model, cfg, bank, 5)
+    mesh = make_mesh({REPS_AXIS: 4})
+    sh_step = jax.jit(make_sharded_eot_pgd_step(model, sampler, plan, cfg, mesh))
+    ref_step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    key = jax.random.key(13)
+    with jax.sharding.set_mesh(mesh):
+        x_sh, aux_sh = sh_step(model.params, src, data, key)
+    x_ref, aux_ref = ref_step(model.params, src, data, key)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), rtol=1e-5, atol=1e-6)
+
+
 def test_batched_pgd_matches_sequential(setup):
     model, cfg, sampler, plan, bank = setup
     datas, srcs = zip(*[_one_data(model, cfg, bank, s) for s in range(4)])

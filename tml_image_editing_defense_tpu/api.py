@@ -127,6 +127,12 @@ def _reps_sharding(cfg: TrainConfig, mesh):
     from tml_image_editing_defense_tpu.parallel.mesh import REPS_AXIS, make_mesh
 
     if mesh is not None:
+        if REPS_AXIS not in mesh.shape:
+            raise ValueError(
+                f"immunize() needs a mesh with a '{REPS_AXIS}' axis "
+                f"(got axes {tuple(mesh.shape)}); data-axis meshes belong to "
+                "immunize_batch()"
+            )
         return mesh, mesh.shape[REPS_AXIS]
     want = cfg.eot_shards
     local = jax.local_devices()

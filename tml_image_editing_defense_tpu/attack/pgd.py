@@ -366,6 +366,22 @@ def make_eot_grad(
 # ---------------------------------------------------------------------------
 
 
+def select_perturbation_update(cfg: TrainConfig) -> Callable:
+    """Resolve the perturbation-update impl for a config: the fused Pallas
+    TPU kernel (single dispatch; falls back to the jnp path off-TPU or when
+    operands exceed its VMEM budget) unless ``cfg.use_pallas_update`` is
+    False.  Single source of truth shared by the serial step and the
+    reps-sharded step (parallel/eot.py) so both stay on the same update path
+    and the serial-oracle bit-parity tests keep meaning something."""
+    if getattr(cfg, "use_pallas_update", True):
+        from tml_image_editing_defense_tpu.ops.pgd_kernels import (
+            fused_perturbation_step,
+        )
+
+        return fused_perturbation_step
+    return perturbation_step
+
+
 def make_pgd_step(
     model: DiffusionModel,
     sampler: BaseSampler,
@@ -376,15 +392,7 @@ def make_pgd_step(
     ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it once and the
     whole reference iteration (main.py:79-115) is a single XLA dispatch."""
     eot = make_eot_grad(model, sampler, plan, cfg)
-    update = perturbation_step
-    if getattr(cfg, "use_pallas_update", True):
-        # Fused single-dispatch Pallas update on TPU (falls back to the jnp
-        # path off-TPU or when operands exceed the kernel's VMEM budget).
-        from tml_image_editing_defense_tpu.ops.pgd_kernels import (
-            fused_perturbation_step,
-        )
-
-        update = fused_perturbation_step
+    update = select_perturbation_update(cfg)
 
     def step(params, x_adv, data: AttackData, key):
         grad, aux = eot(params, x_adv, data, key)

@@ -35,20 +35,28 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
         if f.name in _SKIP_FIELDS:
             continue
         name = "--" + f.name.replace("_", "-")
-        ftype = f.type if isinstance(f.type, type) else None
         default = f.default if f.default is not dataclasses.MISSING else None
+        # Resolve the annotation to a concrete scalar type.  Configs use
+        # `from __future__ import annotations`, so f.type is a string like
+        # "Optional[int]"; fall back to typing introspection for real types.
+        # The annotation (not the default) drives the dispatch — a None
+        # default (Optional[int] fields like eot_shards) must still parse
+        # as its declared type, not as str.
         ann = f.type
         if isinstance(ann, str):
             ann = {"int": int, "float": float, "str": str, "bool": bool,
                    "Path": Path}.get(ann.replace("Optional[", "").rstrip("]"), str)
+        elif get_origin(ann) is not None:
+            args = [a for a in get_args(ann) if a is not type(None)]
+            ann = args[0] if args else str
         if ann is bool or isinstance(default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default, metavar="BOOL")
-        elif isinstance(default, int) and not isinstance(default, bool):
+        elif ann is int or (isinstance(default, int) and not isinstance(default, bool)):
             parser.add_argument(name, type=int, default=default)
-        elif isinstance(default, float):
+        elif ann is float or isinstance(default, float):
             parser.add_argument(name, type=float, default=default)
-        elif isinstance(default, Path) or ann is Path:
+        elif ann is Path or isinstance(default, Path):
             parser.add_argument(name, type=Path, default=default)
         else:
             parser.add_argument(name, type=str, default=default)

@@ -299,6 +299,8 @@ MIN_CHUNKED_SEQ = 2048
 import os as _os
 
 LONG_ATTENTION_IMPL = _os.environ.get("TID_ATTN_IMPL", "chunked_cv")
+#: Valid values for ``LONG_ATTENTION_IMPL`` / ``TID_ATTN_IMPL``.
+_LONG_ATTENTION_IMPLS = ("chunked_cv", "chunked", "flash", "pallas")
 
 
 def _flash_attention(q, k, v):
@@ -335,16 +337,25 @@ def scaled_attention(q, k, v, mask=None, kv_chunk: Optional[int] = None):
     2.42 → 1.74 s (docs/PERF.md).
     """
     if kv_chunk and mask is None and k.shape[1] >= max(2 * kv_chunk, MIN_CHUNKED_SEQ):
-        if LONG_ATTENTION_IMPL == "flash" and q.shape[1] == k.shape[1]:
+        impl = LONG_ATTENTION_IMPL
+        if impl not in _LONG_ATTENTION_IMPLS:
+            # the knob exists for perf measurements — a typo must not
+            # silently record numbers from a different implementation
+            raise ValueError(
+                f"TID_ATTN_IMPL={impl!r} unknown; choose one of "
+                f"{_LONG_ATTENTION_IMPLS}"
+            )
+        if impl == "flash" and q.shape[1] == k.shape[1]:
             return _flash_attention(q, k, v)
-        if LONG_ATTENTION_IMPL == "pallas":
+        if impl == "pallas":
             from tml_image_editing_defense_tpu.ops import flash_attention as _fa
 
             if _fa.supports(q.shape, k.shape[1], False):
                 return _fa.flash_attention(q, k, v)
-        if LONG_ATTENTION_IMPL == "chunked_cv":
-            return _chunked_attention_cv(q, k, v, kv_chunk)
-        return _chunked_attention(q, k, v, kv_chunk)
+        if impl == "chunked":
+            return _chunked_attention(q, k, v, kv_chunk)
+        # default — also the fallback when flash/pallas don't support the shape
+        return _chunked_attention_cv(q, k, v, kv_chunk)
     return _remat_attention(q, k, v, mask)
 
 

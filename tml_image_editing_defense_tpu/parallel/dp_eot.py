@@ -76,6 +76,11 @@ def make_dp_eot_pgd_step(
                 {"params": params["vae"]}, x, method=AutoencoderKL.encode
             )
 
+        if getattr(cfg, "remat_vae", False):
+            # same memory semantics as the serial step (attack/pgd.py):
+            # recompute the encoder forward in the backward instead of saving
+            # its conv activations (258 MB each at 1024²)
+            encode = jax.checkpoint(encode)
         dist, vjp_fn = jax.vjp(encode, x_adv)
         zero = jax.tree.map(jnp.zeros_like, dist)
 
@@ -89,6 +94,9 @@ def make_dp_eot_pgd_step(
         )
         avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
         (grad,) = vjp_fn(gdist)
+        # jnp update (not the Pallas kernel): per_image runs under vmap, where
+        # a Pallas call would be serialized per batch element; the jnp path is
+        # bit-equal to the kernel (tests/test_pallas_ops.py) and XLA fuses it.
         x_adv = perturbation_step(
             cfg.norm_type,
             x_adv=x_adv, grad=grad, x_src=data.source,

@@ -18,7 +18,10 @@ try:  # jax>=0.5 exposes shard_map at the top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from tml_image_editing_defense_tpu.attack.pgd import _rep_loss_from_dist, perturbation_step
+from tml_image_editing_defense_tpu.attack.pgd import (
+    _rep_loss_from_dist,
+    select_perturbation_update,
+)
 from tml_image_editing_defense_tpu.models.vae import AutoencoderKL
 from tml_image_editing_defense_tpu.configs import TrainConfig
 from tml_image_editing_defense_tpu.core.samplers import BaseSampler, DenoisePlan
@@ -55,6 +58,11 @@ def make_sharded_eot_pgd_step(
                 {"params": params["vae"]}, x, method=AutoencoderKL.encode
             )
 
+        if getattr(cfg, "remat_vae", False):
+            # same memory semantics as the serial step (attack/pgd.py):
+            # recompute the encoder forward in the backward instead of saving
+            # its conv activations (258 MB each at 1024²)
+            encode = jax.checkpoint(encode)
         dist, vjp_fn = jax.vjp(encode, x_adv)
         zero = jax.tree.map(jnp.zeros_like, dist)
         aux0 = (jnp.zeros(()), jnp.zeros(()),
@@ -91,13 +99,7 @@ def make_sharded_eot_pgd_step(
         check_vma=False,
     )
 
-    update = perturbation_step
-    if getattr(cfg, "use_pallas_update", True):
-        from tml_image_editing_defense_tpu.ops.pgd_kernels import (
-            fused_perturbation_step,
-        )
-
-        update = fused_perturbation_step
+    update = select_perturbation_update(cfg)
 
     def step(params, x_adv, data, key):
         k_prompt, k_reps = jax.random.split(key)
