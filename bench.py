@@ -260,7 +260,45 @@ def sdxl_leg(dtype) -> dict:
     return out
 
 
+def wait_for_backend() -> None:
+    """Ride out transient TPU-tunnel outages before touching the backend.
+
+    The axon backend has been observed to HANG in-process for >60 min during
+    infra outages ("UNAVAILABLE: TPU backend setup/compile error"), which
+    would otherwise turn a driver bench run into a zero.  Probe device init
+    in a short-timeout subprocess and only proceed once it succeeds (or a
+    deadline passes — then let the real error surface in-process).
+    """
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500"))
+    probe = "import jax; print(jax.devices()[0])"
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=180,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"backend recovered on probe {attempt}")
+                return
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 180s (backend init hang)"
+        if time.time() >= deadline:
+            log(f"backend still unavailable after {attempt} probes ({err}); "
+                "proceeding — the in-process error will be authoritative")
+            return
+        log(f"backend probe {attempt} failed ({err}); retrying in 60s")
+        time.sleep(60)
+
+
 def main() -> None:
+    wait_for_backend()
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     dtype = jnp.bfloat16
