@@ -233,6 +233,75 @@ def vae_manifest(in_channels: int, out_channels: int, block_out: tuple,
 
 
 # ---------------------------------------------------------------------------
+# AutoencoderTiny (diffusers layout — madebyollin/taesd[xl], the universal
+# trainer's preview decoder, old/train_noise.py:82)
+# ---------------------------------------------------------------------------
+
+
+def tiny_vae_manifest(
+    in_channels: int = 3,
+    out_channels: int = 3,
+    latent_channels: int = 4,
+    block_out: tuple = (64, 64, 64, 64),
+    num_encoder_blocks: tuple = (1, 3, 3, 3),
+    num_decoder_blocks: tuple = (3, 3, 3, 1),
+) -> dict:
+    """Enumerate diffusers ``AutoencoderTiny`` state-dict keys: flat
+    ``nn.Sequential`` indices where parameter-free entries (activations,
+    Upsample) still consume an index; blocks are conv.0/2/4 (+1×1 ``skip``
+    only on channel change); stride-2 encoder entries and non-final decoder
+    stage-exit convs are bias-free."""
+    m = {}
+
+    def p(key, shape):
+        m[key] = list(shape)
+
+    def block(prefix, cin, cout):
+        p(f"{prefix}.conv.0.weight", (cout, cin, 3, 3)); p(f"{prefix}.conv.0.bias", (cout,))
+        p(f"{prefix}.conv.2.weight", (cout, cout, 3, 3)); p(f"{prefix}.conv.2.bias", (cout,))
+        p(f"{prefix}.conv.4.weight", (cout, cout, 3, 3)); p(f"{prefix}.conv.4.bias", (cout,))
+        if cin != cout:
+            p(f"{prefix}.skip.weight", (cout, cin, 1, 1))
+
+    # encoder: [stage conv, blocks…]×n, final conv to latents
+    idx = 0
+    for i, n_blocks in enumerate(num_encoder_blocks):
+        ch = block_out[i]
+        if i == 0:
+            p(f"encoder.layers.{idx}.weight", (ch, in_channels, 3, 3))
+            p(f"encoder.layers.{idx}.bias", (ch,))
+        else:
+            p(f"encoder.layers.{idx}.weight", (ch, block_out[i - 1], 3, 3))
+        idx += 1
+        for _ in range(n_blocks):
+            block(f"encoder.layers.{idx}", ch, ch)
+            idx += 1
+    p(f"encoder.layers.{idx}.weight", (latent_channels, block_out[-1], 3, 3))
+    p(f"encoder.layers.{idx}.bias", (latent_channels,))
+
+    # decoder: conv+act stem, then [blocks…, Upsample, conv]×n
+    rev = list(reversed(block_out))
+    p("decoder.layers.0.weight", (rev[0], latent_channels, 3, 3))
+    p("decoder.layers.0.bias", (rev[0],))
+    idx = 2                              # index 1 is the stem activation
+    n_stages = len(num_decoder_blocks)
+    for i, n_blocks in enumerate(num_decoder_blocks):
+        is_final = i == n_stages - 1
+        ch = rev[i]
+        for _ in range(n_blocks):
+            block(f"decoder.layers.{idx}", ch, ch)
+            idx += 1
+        if not is_final:
+            idx += 1                     # nn.Upsample consumes an index
+        out_ch = ch if not is_final else out_channels
+        p(f"decoder.layers.{idx}.weight", (out_ch, ch, 3, 3))
+        if is_final:
+            p(f"decoder.layers.{idx}.bias", (out_ch,))
+        idx += 1
+    return m
+
+
+# ---------------------------------------------------------------------------
 # CLIP text encoders (oracle: transformers)
 # ---------------------------------------------------------------------------
 
@@ -282,6 +351,9 @@ def main():
         "sd15_inpaint_unet": unet_manifest(
             9, 4, (320, 640, 1280, 1280), 2, (True, True, True, False),
             (1, 1, 1, 1), (8, 8, 8, 8), 768, linear_proj=False),
+        # madebyollin/taesdxl preview decoder (old/train_noise.py:82);
+        # madebyollin/taesd is architecturally identical
+        "taesd_vae": tiny_vae_manifest(),
     }
     for name, m in manifests.items():
         path = OUT / f"{name}.json"

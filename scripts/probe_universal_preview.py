@@ -1,0 +1,86 @@
+"""Measure the TAESD preview decoder's win in the universal-attack step.
+
+The reference's universal-perturbation trainer decodes the edited latents
+with ``AutoencoderTiny`` (taesdxl) inside every EOT gradient rep
+(``old/train_noise.py:82, 151``) instead of the full VAE decoder.  Round 3
+implemented that decoder (models/tiny_vae.py); this probe A/Bs the full
+universal step (SD-1.5 family @512², grad_reps=4, bf16) with the full-VAE
+fallback vs the preview path on the real chip.
+
+Writes one JSON line per variant to stdout; progress to stderr.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_universal_preview.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from tml_image_editing_defense_tpu.attack.universal import (
+        UniversalConfig,
+        make_universal_step,
+    )
+    from tml_image_editing_defense_tpu.models import build_model, build_tiny_autoencoder
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    dtype = jnp.bfloat16
+    size = 512
+
+    model = build_model("sd15", key=jax.random.key(0), dtype=dtype,
+                        image_size=size, fast_init=True, attn_kv_chunk=512)
+    cfg = UniversalConfig(grad_reps=4, image_size=size)
+    bank = model.embed_prompt_bank(
+        [(cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts])
+
+    rng = np.random.default_rng(0)
+    source = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)), dtype)
+    pert0 = jnp.zeros_like(source)
+
+    variants = {"full_vae": None}
+    preview = build_tiny_autoencoder("taesd", key=jax.random.key(1),
+                                     dtype=dtype, image_size=size)
+    variants["taesd_preview"] = preview
+
+    for name, pv in variants.items():
+        params = model.params
+        if pv is not None:
+            params = dict(params, preview_vae=pv.params)
+        step = jax.jit(make_universal_step(model, cfg, bank, preview=pv))
+        t0 = time.time()
+        pert, loss = step(params, pert0, source, jax.random.key(2))
+        jax.block_until_ready(pert)
+        compile_s = time.time() - t0
+        times = []
+        for i in range(5):
+            k = jax.random.key(3 + i)      # vary the key: axon caches
+            t0 = time.time()
+            pert, loss = step(params, pert0, source, k)
+            jax.block_until_ready(pert)
+            times.append(time.time() - t0)
+        emit(variant=name, step_s=round(min(times), 4),
+             median_s=round(sorted(times)[len(times) // 2], 4),
+             compile_s=round(compile_s, 1), loss=float(loss))
+        log(f"{name}: min {min(times):.3f}s median {sorted(times)[2]:.3f}s")
+
+
+if __name__ == "__main__":
+    main()

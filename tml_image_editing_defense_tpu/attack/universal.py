@@ -32,6 +32,7 @@ import numpy as np
 from tml_image_editing_defense_tpu.attack.forward import CondInputs, make_time_ids, select_cond
 from tml_image_editing_defense_tpu.attack.losses import lp_distance
 from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel, PromptBank
+from tml_image_editing_defense_tpu.models.tiny_vae import TinyAutoencoder
 
 
 @dataclass
@@ -82,9 +83,23 @@ def lcm_denoise_single_step(
     return c_out * x0 + c_skip * noisy_latents    # single step ⇒ denoised output
 
 
-def make_universal_step(model: DiffusionModel, cfg: UniversalConfig, bank: PromptBank):
+def make_universal_step(
+    model: DiffusionModel,
+    cfg: UniversalConfig,
+    bank: PromptBank,
+    preview: Optional[TinyAutoencoder] = None,
+):
     """One optimization step over one source image:
-    ``step(params, pert, source[1,H,W,3], key) -> (pert', avg_loss)``."""
+    ``step(params, pert, source[1,H,W,3], key) -> (pert', avg_loss)``.
+
+    ``preview``: a :class:`TinyAutoencoder` whose params live at
+    ``params["preview_vae"]``.  When given, the loss-side decode runs through
+    the tiny decoder exactly as the reference does (``old/train_noise.py:82``
+    builds taesdxl, ``:151`` decodes the edited latents with it inside the
+    gradient path) — ~40× cheaper than the full VAE decoder, per EOT rep.
+    Without it we fall back to the full VAE decode (same loss semantics,
+    higher fidelity/cost).
+    """
 
     def rep_loss(pert, params, source, key):
         k_enc, k_noise, k_t, k_p = jax.random.split(key, 4)
@@ -102,7 +117,13 @@ def make_universal_step(model: DiffusionModel, cfg: UniversalConfig, bank: Promp
         out_latents = lcm_denoise_single_step(
             model, params, noisy, t, cond, cfg.guidance_scale
         )
-        out_image = model.decode_latent(params["vae"], out_latents, scaled=True)
+        if preview is not None:
+            # TAESD consumes the UNet's *scaled* latents directly
+            # (scaling_factor 1.0; the reference's divide at
+            # old/train_noise.py:151 is a no-op)
+            out_image = preview.decode(params["preview_vae"], out_latents)
+        else:
+            out_image = model.decode_latent(params["vae"], out_latents, scaled=True)
         loss = jnp.zeros((), out_image.dtype)
         if cfg.l2_image_coeff:
             loss = loss + cfg.l2_image_coeff * lp_distance(out_image, source, 2)
@@ -144,14 +165,22 @@ def train_universal_perturbation(
     key: jax.Array,
     pert_init: Optional[jnp.ndarray] = None,
     log_fn=None,
+    preview: Optional[TinyAutoencoder] = None,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Dataset loop (``old/train_noise.py:115-185``): shuffled single-image
-    batches until ``max_steps`` or ``epochs`` exhausted."""
+    batches until ``max_steps`` or ``epochs`` exhausted.
+
+    ``preview``: tiny preview autoencoder for the loss-side decode (the
+    reference's taesdxl, ``old/train_noise.py:82, 151``); see
+    :func:`make_universal_step`."""
     prompts = [
         (cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts
     ]
     bank = model.embed_prompt_bank(prompts)
-    step = jax.jit(make_universal_step(model, cfg, bank))
+    step = jax.jit(make_universal_step(model, cfg, bank, preview=preview))
+    run_params = model.params
+    if preview is not None:
+        run_params = dict(run_params, preview_vae=preview.params)
     shape = images[0].shape
     pert = jnp.zeros(shape, images[0].dtype) if pert_init is None else pert_init
     losses: List[float] = []
@@ -163,7 +192,7 @@ def train_universal_perturbation(
             if count >= cfg.max_steps:
                 return pert, losses
             key, sub = jax.random.split(key)
-            pert, loss = step(model.params, pert, jnp.asarray(images[int(idx)]), sub)
+            pert, loss = step(run_params, pert, jnp.asarray(images[int(idx)]), sub)
             losses.append(float(loss))
             if log_fn is not None:
                 log_fn(count, losses[-1])
