@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--grad-reps", type=int, default=4)
     ap.add_argument("--eps", type=float, default=0.1)
     ap.add_argument("--step-size", type=float, default=0.006)
+    ap.add_argument("--optimizer", type=str, default=None, choices=["adam"],
+                    help="opt into the Adam update the reference configured "
+                         "but never stepped (old/train_noise.py:96); default "
+                         "is the normalized-gradient rule it actually used")
+    ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--default-prompt", type=str, default="")
     ap.add_argument("--edit-prompts", type=str, nargs="*", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -79,7 +84,8 @@ def main(argv=None):
     cfg_kw = dict(eps=args.eps, step_size=args.step_size,
                   grad_reps=args.grad_reps, epochs=args.epochs,
                   max_steps=args.max_steps, image_size=size,
-                  default_prompt=args.default_prompt)
+                  default_prompt=args.default_prompt,
+                  optimizer=args.optimizer, lr=args.lr)
     if args.edit_prompts:
         cfg_kw["edit_prompts"] = tuple(args.edit_prompts)
     cfg = UniversalConfig(**cfg_kw)

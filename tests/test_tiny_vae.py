@@ -179,6 +179,33 @@ def test_taesd_decoder_is_cheaper_than_full_vae():
     assert n_tiny * 10 < n_kl            # 2.4 M vs 83.7 M in reality
 
 
+def test_universal_trainer_adam_mode():
+    """``optimizer="adam"`` really steps (the reference built Adam and never
+    stepped it, old/train_noise.py:96): the update differs from the
+    normalized-gradient rule while the ε/validity projections still hold."""
+    from tml_image_editing_defense_tpu.attack.universal import (
+        UniversalConfig,
+        train_universal_perturbation,
+    )
+    from tml_image_editing_defense_tpu.models.model_zoo import build_model
+
+    model = build_model("tiny", key=jax.random.key(0), fast_init=True)
+    rng = np.random.default_rng(9)
+    images = [rng.uniform(-1, 1, (1, model.image_size, model.image_size, 3))
+              .astype(np.float32)]
+    base = dict(max_steps=2, grad_reps=1, epochs=2,
+                image_size=model.image_size)
+    pert_adam, losses_adam = train_universal_perturbation(
+        model, images, UniversalConfig(optimizer="adam", lr=1e-2, **base),
+        jax.random.key(4))
+    pert_ref, _ = train_universal_perturbation(
+        model, images, UniversalConfig(**base), jax.random.key(4))
+
+    assert np.isfinite(losses_adam).all()
+    assert np.all(np.abs(np.asarray(pert_adam)) <= 0.1 + 1e-6)
+    assert np.abs(np.asarray(pert_adam) - np.asarray(pert_ref)).max() > 0
+
+
 def test_universal_attack_example_entrypoint(tmp_path):
     """examples/universal_attack.py — the argparse analog of the reference's
     pyrallis CLI (old/train_noise.py:51) — runs end-to-end on the tiny family

@@ -11,9 +11,10 @@ the normalized mean gradient updates the perturbation with an ε-box clamp
 Deviations from the reference (deliberate bug fixes, flagged in SURVEY.md §3.5):
 - the decoded preview no longer *overwrites* the source/target variable
   (reference ``:151`` corrupts its own optimization target);
-- the constructed-but-never-stepped Adam optimizer (``:96``) is dropped — the
-  reference's actual update rule is the normalized-gradient step, which is
-  what we implement (an optional optax optimizer can be threaded in later).
+- the constructed-but-never-stepped Adam optimizer (``:96``) is not silently
+  dropped: the default update rule is the reference's *actual* one (the
+  normalized-gradient step), and ``UniversalConfig(optimizer="adam", lr=…)``
+  opts into a working optax Adam followed by the same projections.
 
 Because the timestep is drawn *inside* the step, the 1-step denoise uses a
 traced-t LCM update (:func:`lcm_denoise_single_step`) instead of a host-built
@@ -52,6 +53,13 @@ class UniversalConfig:
     l_inf_image_coeff: float = 0.0
     apply_image_perturbation: bool = True  # re-anchor so source+pert stays in [-1,1]
     image_size: int = 512
+    #: ``None`` → the reference's *actual* update rule (normalized-gradient
+    #: step, ``old/train_noise.py:173-177``); ``"adam"`` → the Adam the
+    #: reference constructed with ``lr`` but never stepped (``:96``, ``:39``)
+    #: — here it really steps, followed by the same ε-clamp / re-anchor
+    #: projections (``:180-185``).
+    optimizer: Optional[str] = None
+    lr: float = 1e-2
 
 
 def lcm_denoise_single_step(
@@ -133,7 +141,22 @@ def make_universal_step(
 
     grad_fn = jax.value_and_grad(rep_loss, argnums=0)
 
-    def step(params, pert, source, key):
+    tx = None
+    if cfg.optimizer is not None:
+        if cfg.optimizer != "adam":
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r}; have: adam")
+        import optax
+
+        tx = optax.adam(cfg.lr)
+
+    def _project(pert, source):
+        pert = jnp.clip(pert, -cfg.eps, cfg.eps)    # old/train_noise.py:180
+        if cfg.apply_image_perturbation:
+            # re-anchor so the perturbed image is representable (:183-185)
+            pert = jnp.clip(source + pert, -1.0, 1.0) - source
+        return pert
+
+    def _mean_grad(params, pert, source, key):
         rep_keys = jax.random.split(key, cfg.grad_reps)
 
         def body(acc, k):
@@ -143,19 +166,29 @@ def make_universal_step(
         (gsum, lsum), _ = jax.lax.scan(
             body, (jnp.zeros_like(pert), jnp.zeros(())), rep_keys
         )
-        grad = gsum / cfg.grad_reps
-        avg_loss = lsum / cfg.grad_reps
-        # normalized-gradient update + ε clamp (old/train_noise.py:173-180)
-        axes = tuple(range(1, grad.ndim))
-        gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=axes, keepdims=True))
-        pert = pert - grad / (gnorm + 1e-10) * cfg.step_size
-        pert = jnp.clip(pert, -cfg.eps, cfg.eps)
-        if cfg.apply_image_perturbation:
-            # re-anchor so the perturbed image is representable (:183-185)
-            pert = jnp.clip(source + pert, -1.0, 1.0) - source
-        return pert, avg_loss
+        return gsum / cfg.grad_reps, lsum / cfg.grad_reps
 
-    return step
+    if tx is None:
+        def step(params, pert, source, key):
+            grad, avg_loss = _mean_grad(params, pert, source, key)
+            # normalized-gradient update (old/train_noise.py:173-177)
+            axes = tuple(range(1, grad.ndim))
+            gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=axes, keepdims=True))
+            pert = pert - grad / (gnorm + 1e-10) * cfg.step_size
+            return _project(pert, source), avg_loss
+
+        return step
+
+    import optax
+
+    def opt_step(params, pert, opt_state, source, key):
+        grad, avg_loss = _mean_grad(params, pert, source, key)
+        updates, opt_state = tx.update(grad, opt_state, pert)
+        pert = optax.apply_updates(pert, updates)
+        return _project(pert, source), opt_state, avg_loss
+
+    opt_step.init = tx.init
+    return opt_step
 
 
 def train_universal_perturbation(
@@ -177,12 +210,15 @@ def train_universal_perturbation(
         (cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts
     ]
     bank = model.embed_prompt_bank(prompts)
-    step = jax.jit(make_universal_step(model, cfg, bank, preview=preview))
+    raw_step = make_universal_step(model, cfg, bank, preview=preview)
+    step = jax.jit(raw_step)
+    opt_init = getattr(raw_step, "init", None)
     run_params = model.params
     if preview is not None:
         run_params = dict(run_params, preview_vae=preview.params)
     shape = images[0].shape
     pert = jnp.zeros(shape, images[0].dtype) if pert_init is None else pert_init
+    opt_state = None if opt_init is None else opt_init(pert)
     losses: List[float] = []
     count = 0
     for _ in range(cfg.epochs):
@@ -192,7 +228,11 @@ def train_universal_perturbation(
             if count >= cfg.max_steps:
                 return pert, losses
             key, sub = jax.random.split(key)
-            pert, loss = step(run_params, pert, jnp.asarray(images[int(idx)]), sub)
+            img = jnp.asarray(images[int(idx)])
+            if opt_init is None:
+                pert, loss = step(run_params, pert, img, sub)
+            else:
+                pert, opt_state, loss = step(run_params, pert, opt_state, img, sub)
             losses.append(float(loss))
             if log_fn is not None:
                 log_fn(count, losses[-1])

@@ -83,7 +83,7 @@ class DiffusionModel:
 
     @property
     def latent_size(self) -> int:
-        return self.image_size // 8 if self.family != "tiny" else self.image_size // 4
+        return self.latent_shape[1]
 
     @property
     def latent_shape(self) -> Tuple[int, int, int, int]:
