@@ -95,11 +95,18 @@ def main(argv=None):
         if args.preview_params is not None:
             preview = load_taesd_checkpoint(args.preview_params)
         else:
-            # "taesd" matches the 8×-latent geometry of sd15/sdxl; the tiny
-            # test family (2×) uses the matching tiny preview preset
-            preset = "tiny" if model.family == "tiny" else "taesd"
-            preview = build_tiny_autoencoder(
-                preset, key=jax.random.key(args.seed + 1), fast_init=True)
+            # pick the preview preset by the main VAE's downsampling factor:
+            # "taesd" is 8× (sd15/sdxl), "tiny" is 2× (the dev families —
+            # including tiny-sdxl/tiny-inpaint, whose base family is not
+            # "tiny"); any other geometry falls back to the full VAE decode
+            factor = 2 ** (len(model.vae.config.block_out_channels) - 1)
+            preset = {8: "taesd", 2: "tiny"}.get(factor)
+            if preset is not None:
+                preview = build_tiny_autoencoder(
+                    preset, key=jax.random.key(args.seed + 1), fast_init=True)
+            else:
+                print(f"no preview preset for a {factor}x VAE; "
+                      "using the full VAE decode", flush=True)
 
     ds = ImagePromptDataset(str(args.dataset_dir), args.default_prompt,
                             size=size)

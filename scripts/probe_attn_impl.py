@@ -24,6 +24,8 @@ sys.path.insert(0, str(REPO))
 import jax
 import jax.numpy as jnp
 
+from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -74,12 +76,7 @@ def measure(impl: str, n_meas: int) -> float:
     log(f"[{impl}] steps: {['%.3f' % t for t in ts]}")
     # free HBM for the next impl's build
     del model, data, step, x, aux, pool, bank
-    jax.clear_caches()
-    for a in jax.live_arrays():
-        try:
-            a.delete()
-        except Exception:
-            pass
+    free_all_device_memory()
     return min(ts)
 
 

@@ -30,6 +30,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -69,12 +71,7 @@ def run_variant(name, dtype, vae_dtype, n_steps=50, n_meas=3):
     log(f"[{name}] {min(ts):.3f} s/edit; finite={np.isfinite(arr).all()}")
     # free HBM before the next variant
     del model, pipe
-    jax.clear_caches()
-    for a in jax.live_arrays():
-        try:
-            a.delete()
-        except Exception:
-            pass
+    free_all_device_memory()
     return arr, min(ts)
 
 

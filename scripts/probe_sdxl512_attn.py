@@ -22,6 +22,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
@@ -79,12 +81,7 @@ def main():
                               "compile_s": round(compile_s, 1)}), flush=True)
             log(f"[{s}] {min(ts):.4f} s/step (compile+first {compile_s:.1f}s)")
             del xl, params, data, step, x
-            jax.clear_caches()
-            for a in jax.live_arrays():
-                try:
-                    a.delete()
-                except Exception:
-                    pass
+            free_all_device_memory()
         except Exception as e:
             print(json.dumps({"probe": f"sdxl_512_pgd_attn_{s}",
                               "error": f"{type(e).__name__}: {str(e)[:300]}"}),

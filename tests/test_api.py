@@ -1,6 +1,9 @@
 """End-to-end API tests on the tiny model: immunize → artifacts → evaluate,
 transfer heuristic parity, checkpoint/resume."""
 
+import dataclasses
+from pathlib import Path
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -351,6 +354,49 @@ def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
     assert len(results) == 1
     out = tmp_path / "sweep" / "src" / "n_noises_1" / "n_prompts_1"
     assert (out / "adversarial_image.png").exists()
+
+
+def test_sweep_eot_shards_override_survives(img_file, tmp_path, monkeypatch):
+    """train_overrides={'eot_shards': N} is the documented way to enable
+    reps sharding inside sweeps — sweep() must not clobber it with its
+    serial-artifact default of 1 (round-3 review finding)."""
+    from tml_image_editing_defense_tpu.configs import SweepConfig
+    import tml_image_editing_defense_tpu.api as api_mod
+
+    seen = []
+
+    class _Res:
+        model = None
+
+    def fake_immunize(train_cfg, model=None, **kw):
+        seen.append(train_cfg.eot_shards)
+        out = Path(train_cfg.output_path)
+        out.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            out / "adversarial_image.png")
+        return _Res()
+
+    monkeypatch.setattr(api_mod, "immunize", fake_immunize)
+    monkeypatch.setattr(api_mod, "evaluate", lambda *a, **kw: [])
+
+    cfg = SweepConfig(
+        images_dir=img_file.parent, output_root=tmp_path / "s1",
+        n_prompts_grid=(1,), n_noises_grid=(1,), n_optimization_steps=1,
+    )
+    api_mod.sweep(cfg, data_parallel=False)
+    assert seen == [1]                      # default: forced serial step
+
+    seen.clear()
+    cfg2 = dataclasses.replace(cfg, output_root=tmp_path / "s2")
+    api_mod.sweep(cfg2, data_parallel=False,
+                  train_overrides={"eot_shards": 2})
+    assert seen == [2]                      # explicit override wins
+
+    seen.clear()
+    cfg3 = dataclasses.replace(cfg, output_root=tmp_path / "s3")
+    api_mod.sweep(cfg3, data_parallel=True,
+                  train_overrides={"eot_shards": 2})
+    assert seen == [2]                      # singleton group path too
 
 
 def test_sweep_data_parallel_matches_serial(tmp_path, tiny_model, monkeypatch):

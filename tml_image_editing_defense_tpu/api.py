@@ -537,6 +537,11 @@ def evaluate(
     n_shards = cfg.eval_shards
     if n_shards is None:
         n_shards = len(jax.local_devices())
+    elif n_shards > len(jax.local_devices()):
+        raise ValueError(
+            f"eval_shards={n_shards} exceeds local device count "
+            f"{len(jax.local_devices())}"
+        )
     eval_sharding = None
     if batch_edits and n_shards > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -717,6 +722,16 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
     if data_parallel is None:
         data_parallel = len(jax.local_devices()) > 1
 
+    # Serial-path cells default to eot_shards=1 so sweep artifacts are
+    # identical between the serial and data-parallel modes regardless of
+    # group size (reps-sharding changes gradient-sum association) — but an
+    # explicit train_overrides={'eot_shards': N} wins (it is the documented
+    # way to enable reps sharding inside sweeps).
+    forced_eot = (
+        {} if (train_overrides and "eot_shards" in train_overrides)
+        else {"eot_shards": 1}
+    )
+
     if data_parallel:
         # Group fusable cells: same prompt bank + same noise-pool shape
         # (different images).  Groups keep first-appearance order.
@@ -727,21 +742,19 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
         for group in groups.values():
             if len(group) == 1:
                 cell = group[0]
-                # eot_shards=1: keep sweep artifacts identical between the
-                # serial and data-parallel modes regardless of group size
-                # (reps-sharding changes gradient-sum association); override
-                # via train_overrides=dict(eot_shards=N) when wanted.
                 res = immunize(
-                    dataclasses.replace(cell["train_cfg"], eot_shards=1),
+                    dataclasses.replace(cell["train_cfg"], **forced_eot),
                     model=model,
                 )
                 model = res.model
                 continue
             batch_cfg = group[0]["train_cfg"]
             if model is None:
-                model = build_model(
-                    _default_family(batch_cfg), key=jax.random.key(batch_cfg.seed),
-                    image_size=batch_cfg.image_size, dtype=jnp.dtype(batch_cfg.dtype),
+                # _cfg_model honors params_path/tokenizer_paths exactly like
+                # the singleton immunize path — a fused group must not train
+                # against different weights than a singleton cell
+                model = _cfg_model(
+                    batch_cfg, jnp.dtype(batch_cfg.dtype),
                     attn_kv_chunk=_train_attn_chunk(batch_cfg.image_size),
                 )
             immunize_batch(
@@ -754,7 +767,7 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
     else:
         for cell in cells:
             res = immunize(
-                dataclasses.replace(cell["train_cfg"], eot_shards=1), model=model
+                dataclasses.replace(cell["train_cfg"], **forced_eot), model=model
             )
             model = res.model      # reuse across cells
 

@@ -109,24 +109,13 @@ def _remat_attention(q, k, v, mask):
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
-def _chunked_attention(q, k, v, kv_chunk: int):
-    """Online-softmax attention over KV chunks (the FlashAttention
-    recurrence, in pure jax) — the [B,H,T,S] score matrix is NEVER
-    materialized, not even transiently in the backward pass.
-
-    Remat'd fused attention still peaks at the full score matrix during the
-    backward recompute: f32[2,10,4096,4096] = 1.25 GB per SDXL 64²-token
-    layer, and 1 GB for the VAE's 16384-token mid attention at 1024² — the
-    allocations that pushed the SDXL 1024² fwd+bwd program over v5e HBM.
-    Here each scan step touches only a [B,T,H,C] slab (C = ``kv_chunk``)
-    and the checkpointed body recomputes it per chunk in the backward.
-
-    Numerics: softmax stats and accumulators in f32; on bf16 inputs the
-    logits themselves round through bf16 once at the MXU boundary (see the
-    in-kernel comment — keeping the einsum in the input dtype is what keeps
-    the backward matmuls bf16; fused-path agreement is ~2e-2 in bf16 and
-    exact in f32).
-    """
+def _chunk_scan(q, k, v, kv_chunk: int, checkpoint_body: bool):
+    """The online-softmax KV-chunk scan shared by :func:`_chunked_attention`
+    (checkpointed body — autodiff recomputes each chunk in the backward) and
+    :func:`_chunked_attention_fwd_lse` (plain body — the flash-2 custom VJP
+    never differentiates through it).  ONE implementation on purpose: the
+    custom-VJP contract promises forward numerics bit-identical between the
+    two callers.  Returns the final ``(m, l, acc)`` f32 running stats."""
     b, t, h, d = q.shape
     s = k.shape[1]
     n = -(-s // kv_chunk)
@@ -139,7 +128,6 @@ def _chunked_attention(q, k, v, kv_chunk: int):
     # K/V are sliced in place per chunk index — pre-stacking [n,B,C,H,D]
     # scan inputs costs a full K+V transpose copy and showed up as 23% of
     # the PGD step in dynamic-update-slice fusions.
-    @jax.checkpoint
     def body(carry, idx):
         m, l, acc = carry                                      # f32 running stats
         kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
@@ -166,48 +154,43 @@ def _chunked_attention(q, k, v, kv_chunk: int):
         ).astype(jnp.float32)
         return (m_new, l, acc), None
 
-    m0 = jnp.full((b, t, h), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((b, t, h), jnp.float32)
-    acc0 = jnp.zeros((b, t, h, d), jnp.float32)
-    (_, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n))
-    return (acc / l[..., None]).astype(q.dtype)
-
-
-def _chunked_attention_fwd_lse(q, k, v, kv_chunk: int):
-    """The same online-softmax chunk scan as :func:`_chunked_attention`,
-    additionally returning the log-sum-exp rows ``lse = m + log l``
-    ([B,T,H] f32) — the residual the flash-2 backward needs."""
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    n = -(-s // kv_chunk)
-    pad = n * kv_chunk - s
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    scale = 1.0 / math.sqrt(d)
-
-    def body(carry, idx):
-        m, l, acc = carry
-        kcb = jax.lax.dynamic_slice_in_dim(k, idx * kv_chunk, kv_chunk, axis=1)
-        vcb = jax.lax.dynamic_slice_in_dim(v, idx * kv_chunk, kv_chunk, axis=1)
-        ok = idx * kv_chunk + jnp.arange(kv_chunk) < s
-        logits = (
-            jnp.einsum("bthd,bchd->bthc", q, kcb).astype(jnp.float32) * scale
-        )
-        logits = jnp.where(ok[None, None, None, :], logits, -1e30)
-        m_new = jnp.maximum(m, logits.max(axis=-1))
-        p = jnp.exp(logits - m_new[..., None])
-        corr = jnp.exp(m - m_new)
-        l = l * corr + p.sum(axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "bthc,bchd->bthd", p.astype(vcb.dtype), vcb
-        ).astype(jnp.float32)
-        return (m_new, l, acc), None
-
+    if checkpoint_body:
+        body = jax.checkpoint(body)
     m0 = jnp.full((b, t, h), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, t, h), jnp.float32)
     acc0 = jnp.zeros((b, t, h, d), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(n))
+    return m, l, acc
+
+
+def _chunked_attention(q, k, v, kv_chunk: int):
+    """Online-softmax attention over KV chunks (the FlashAttention
+    recurrence, in pure jax) — the [B,H,T,S] score matrix is NEVER
+    materialized, not even transiently in the backward pass.
+
+    Remat'd fused attention still peaks at the full score matrix during the
+    backward recompute: f32[2,10,4096,4096] = 1.25 GB per SDXL 64²-token
+    layer, and 1 GB for the VAE's 16384-token mid attention at 1024² — the
+    allocations that pushed the SDXL 1024² fwd+bwd program over v5e HBM.
+    Here each scan step touches only a [B,T,H,C] slab (C = ``kv_chunk``)
+    and the checkpointed body recomputes it per chunk in the backward.
+
+    Numerics: softmax stats and accumulators in f32; on bf16 inputs the
+    logits themselves round through bf16 once at the MXU boundary (see the
+    in-kernel comment — keeping the einsum in the input dtype is what keeps
+    the backward matmuls bf16; fused-path agreement is ~2e-2 in bf16 and
+    exact in f32).
+    """
+    _, l, acc = _chunk_scan(q, k, v, kv_chunk, checkpoint_body=True)
+    return (acc / l[..., None]).astype(q.dtype)
+
+
+def _chunked_attention_fwd_lse(q, k, v, kv_chunk: int):
+    """The same online-softmax chunk scan as :func:`_chunked_attention`
+    (literally — see :func:`_chunk_scan`), additionally returning the
+    log-sum-exp rows ``lse = m + log l`` ([B,T,H] f32) — the residual the
+    flash-2 backward needs."""
+    m, l, acc = _chunk_scan(q, k, v, kv_chunk, checkpoint_body=False)
     return (acc / l[..., None]).astype(q.dtype), m + jnp.log(l)
 
 
