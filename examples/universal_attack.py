@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--default-prompt", type=str, default="")
     ap.add_argument("--edit-prompts", type=str, nargs="*", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vis-every", type=int, default=None,
+                    help="save a [perturbed|source|validation] collage every "
+                         "k steps (old/train_noise.py:196-214)")
     ap.add_argument("--params", type=Path, default=None,
                     help="converted main-model .msgpack "
                          "(scripts/prepare_real_weights.py)")
@@ -119,9 +122,19 @@ def main(argv=None):
     def log_fn(step, loss):
         print(f"step {step}: loss {loss:.4f}", flush=True)
 
+    args.output.mkdir(parents=True, exist_ok=True)
+
+    def vis_fn(step, collage):
+        from PIL import Image as PILImage
+
+        PILImage.fromarray(collage).save(
+            args.output / f"validation_{step:05d}.png")
+
     pert, losses = train_universal_perturbation(
         model, images, cfg, jax.random.key(args.seed + 2),
-        log_fn=log_fn, preview=preview)
+        log_fn=log_fn, preview=preview,
+        vis_every=args.vis_every,
+        vis_fn=vis_fn if args.vis_every else None)
 
     args.output.mkdir(parents=True, exist_ok=True)
     np.save(args.output / "perturbation.npy", np.asarray(pert))

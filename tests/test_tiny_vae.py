@@ -229,12 +229,15 @@ def test_universal_attack_example_entrypoint(tmp_path):
     out = tmp_path / "out"
     universal_attack.main([
         "--family", "tiny", "--dataset-dir", str(ds), "--steps", "1",
-        "--grad-reps", "1", "--output", str(out),
+        "--grad-reps", "1", "--output", str(out), "--vis-every", "1",
     ])
     pert = np.load(out / "perturbation.npy")
     assert pert.shape == (1, 32, 32, 3)
     assert np.abs(pert).max() <= 0.1 + 1e-6          # default eps
     assert (out / "perturbed_example.png").exists()
+    # validation collage (old/train_noise.py:196-214): [pert|src|val] hstack
+    collage = np.asarray(Image.open(out / "validation_00000.png"))
+    assert collage.shape[1] == 3 * 32 and collage.shape[0] >= 32
 
 
 def test_universal_trainer_with_preview_decoder():

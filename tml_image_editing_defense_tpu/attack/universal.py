@@ -191,6 +191,51 @@ def make_universal_step(
     return opt_step
 
 
+def make_universal_validation(model: DiffusionModel, cfg: UniversalConfig,
+                              bank: PromptBank):
+    """Validation edit for the periodic collage (``old/train_noise.py:196-205``):
+    the same encode → noise(t) → 1-step LCM denoise as the training rep, but
+    decoded through the FULL VAE (the reference's validation runs the whole
+    pipe, not the preview decoder).  Returns
+    ``validate(params, pert, source, key) -> image NHWC in [-1,1]``."""
+
+    def validate(params, pert, source, key):
+        k_enc, k_noise, k_t, k_p = jax.random.split(key, 4)
+        perturbed = source + pert
+        z = model.encode_image(params["vae"], perturbed, key=k_enc)
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        t = jax.random.randint(k_t, (), cfg.timestep_range[0], cfg.timestep_range[1])
+        noisy = model.schedule.add_noise(z, noise, t)
+        pidx = jax.random.randint(k_p, (), 0, bank.embeds.shape[0])
+        time_ids = None
+        if bank.pooled is not None:
+            time_ids = make_time_ids(cfg.image_size, source.dtype)
+        cond = select_cond(bank.embeds, bank.uncond, pidx, bank.pooled,
+                           bank.uncond_pooled, time_ids)
+        out_latents = lcm_denoise_single_step(
+            model, params, noisy, t, cond, cfg.guidance_scale
+        )
+        return model.decode_latent(params["vae"], out_latents, scaled=True)
+
+    return validate
+
+
+def _universal_collage(source: np.ndarray, pert: np.ndarray,
+                       validation: np.ndarray, step: int) -> np.ndarray:
+    """HWC uint8 hstack [perturbed source | source | validation edit] with a
+    caption strip (the reference's wandb collage, ``old/train_noise.py:206-214``
+    — its cv2 text overlay becomes our caption strip)."""
+    from tml_image_editing_defense_tpu.utils.vis import add_text_to_image
+
+    def u8(x):
+        x = np.asarray(x, np.float32)[0]        # [H,W,3] in [-1,1]
+        return (np.clip(x / 2 + 0.5, 0, 1) * 255).astype(np.uint8)
+
+    strip = np.hstack([u8(np.clip(source + pert, -1, 1)), u8(source),
+                       u8(validation)])
+    return add_text_to_image(strip, f"universal step {step}", add_below=False)
+
+
 def train_universal_perturbation(
     model: DiffusionModel,
     images: Sequence[np.ndarray],          # each [1,H,W,3] NHWC in [-1,1]
@@ -199,13 +244,21 @@ def train_universal_perturbation(
     pert_init: Optional[jnp.ndarray] = None,
     log_fn=None,
     preview: Optional[TinyAutoencoder] = None,
+    vis_every: Optional[int] = None,
+    vis_fn=None,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Dataset loop (``old/train_noise.py:115-185``): shuffled single-image
     batches until ``max_steps`` or ``epochs`` exhausted.
 
     ``preview``: tiny preview autoencoder for the loss-side decode (the
     reference's taesdxl, ``old/train_noise.py:82, 151``); see
-    :func:`make_universal_step`."""
+    :func:`make_universal_step`.
+
+    ``vis_every``/``vis_fn``: every k steps run a no-grad validation edit on
+    the current batch image and hand ``vis_fn(step, collage)`` an HWC uint8
+    [perturbed | source | validation] collage — the reference's
+    ``validate_every_k_steps`` wandb logging (``old/train_noise.py:196-214``),
+    host-callback only, off the jitted hot path."""
     prompts = [
         (cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts
     ]
@@ -213,6 +266,9 @@ def train_universal_perturbation(
     raw_step = make_universal_step(model, cfg, bank, preview=preview)
     step = jax.jit(raw_step)
     opt_init = getattr(raw_step, "init", None)
+    validate = None
+    if vis_every is not None and vis_fn is not None:
+        validate = jax.jit(make_universal_validation(model, cfg, bank))
     run_params = model.params
     if preview is not None:
         run_params = dict(run_params, preview_vae=preview.params)
@@ -236,5 +292,10 @@ def train_universal_perturbation(
             losses.append(float(loss))
             if log_fn is not None:
                 log_fn(count, losses[-1])
+            if validate is not None and count % vis_every == 0:
+                key, kv = jax.random.split(key)
+                val = validate(run_params, pert, img, kv)
+                vis_fn(count, _universal_collage(
+                    np.asarray(img), np.asarray(pert), np.asarray(val), count))
             count += 1
     return pert, losses
