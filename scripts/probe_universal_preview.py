@@ -14,6 +14,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_universal_previ
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -43,10 +44,14 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     dtype = jnp.bfloat16
-    size = 512
+    # PROBE_FAMILY=tiny PROBE_SIZE=32 JAX_PLATFORMS=cpu → CPU smoke run
+    family = os.environ.get("PROBE_FAMILY", "sd15")
+    size = int(os.environ.get("PROBE_SIZE", "512"))
+    preset = "tiny" if family.startswith("tiny") else "taesd"
 
-    model = build_model("sd15", key=jax.random.key(0), dtype=dtype,
-                        image_size=size, fast_init=True, attn_kv_chunk=512)
+    model = build_model(family, key=jax.random.key(0), dtype=dtype,
+                        image_size=size, fast_init=True,
+                        attn_kv_chunk=512 if size >= 512 else None)
     cfg = UniversalConfig(grad_reps=4, image_size=size)
     bank = model.embed_prompt_bank(
         [(cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts])
@@ -56,7 +61,7 @@ def main():
     pert0 = jnp.zeros_like(source)
 
     variants = {"full_vae": None}
-    preview = build_tiny_autoencoder("taesd", key=jax.random.key(1),
+    preview = build_tiny_autoencoder(preset, key=jax.random.key(1),
                                      dtype=dtype, image_size=size)
     variants["taesd_preview"] = preview
 
