@@ -486,6 +486,38 @@ def test_immunize_batch_pads_to_mesh(tmp_path, tiny_model):
         )
 
 
+def test_immunize_batch_2d_mesh_matches_serial(tmp_path, tiny_model):
+    """cfg.eot_shards>1 routes immunize_batch through the 2-D (data × reps)
+    mesh (parallel/dp_eot.py): 2 images on 8 devices become a data=4 × reps=2
+    mesh, every chip busy, artifacts byte-identical to the serial per-image
+    runs via seed replay (the rep streams are the serial oracle)."""
+    from tml_image_editing_defense_tpu.parallel.mesh import DATA_AXIS, REPS_AXIS
+
+    imgs_dir = tmp_path / "imgs"
+    imgs_dir.mkdir()
+    rng = np.random.default_rng(21)
+    paths = []
+    for i in range(2):
+        p = imgs_dir / f"im{i}.png"
+        Image.fromarray(rng.uniform(0, 255, (40, 40, 3)).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    cfg = _train_cfg(paths[0], tmp_path / "b2d", eot_shards=2)
+    debug = {}
+    seeds = [5, 6]
+    res = api.immunize_batch(cfg, paths, model=tiny_model, seeds=seeds,
+                             debug_out=debug)
+    assert debug["mesh"].shape[REPS_AXIS] == 2
+    assert debug["mesh"].shape[DATA_AXIS] == 4
+    assert len(debug["sharding"].device_set) == 8
+    for i, p in enumerate(paths):
+        scfg = _train_cfg(p, tmp_path / f"s2d{i}", seed=seeds[i], eot_shards=1)
+        r = api.immunize(scfg, model=tiny_model)
+        np.testing.assert_array_equal(
+            np.asarray(r.adversarial_image), np.asarray(res[i].adversarial_image)
+        )
+
+
 def test_immunize_sdxl_family(img_file, tmp_path):
     """SDXL path through the full api: dual encoders, pooled embeds,
     micro-conditioning time_ids (reference main.py:362-408)."""

@@ -316,8 +316,12 @@ def immunize_batch(
     (``run_all.py:16-21``): every image is an independent PGD problem; the
     batch axis is sharded over the mesh ``data`` axis (one or more images per
     chip), and the whole N-step × B-image optimization is a single
-    ``lax.scan`` dispatch.  Visualization callbacks are off in this mode
-    (zero host round-trips); per-step loss curves are returned.
+    ``lax.scan`` dispatch.  With ``cfg.eot_shards > 1`` the mesh gains a
+    ``reps`` axis and each image's EOT gradient samples additionally spread
+    over that many chips (the 2-D ``parallel/dp_eot.py`` loop — the right
+    shape when chips outnumber images; serial-oracle rep streams, artifacts
+    byte-identical to serial runs).  Visualization callbacks are off in this
+    mode (zero host round-trips); per-step loss curves are returned.
 
     ``seeds``: per-image seeds replaying :func:`immunize`'s exact KeyStream
     order (noise pool → target latent → loop key), so each batched image is
@@ -348,9 +352,37 @@ def immunize_batch(
     # with dummy problems (outputs dropped) instead of shrinking the mesh:
     # 3 images on an 8-chip host run one step-time, not three (VERDICT r2
     # item 9).
+    #
+    # cfg.eot_shards > 1 opts into the 2-D (data × reps) mesh: each image's
+    # EOT gradient samples additionally spread over `eot_shards` chips
+    # (parallel/dp_eot.py, serial-oracle rep streams) — the right shape when
+    # there are more chips than images.
+    from tml_image_editing_defense_tpu.parallel.mesh import REPS_AXIS
+
     local = jax.local_devices()
+    eot_shards = cfg.eot_shards or 1
     if mesh is None and len(local) > 1:
-        mesh = make_mesh({DATA_AXIS: len(local)}, devices=local)
+        if eot_shards > 1:
+            if len(local) % eot_shards:
+                raise ValueError(
+                    f"eot_shards={eot_shards} must divide the local device "
+                    f"count {len(local)} for the 2-D batch mesh"
+                )
+            if cfg.grad_reps % eot_shards:
+                raise ValueError(
+                    f"eot_shards={eot_shards} must divide grad_reps={cfg.grad_reps}"
+                )
+            mesh = make_mesh(
+                {DATA_AXIS: len(local) // eot_shards, REPS_AXIS: eot_shards},
+                devices=local,
+            )
+        else:
+            mesh = make_mesh({DATA_AXIS: len(local)}, devices=local)
+    use_2d = (
+        mesh is not None
+        and REPS_AXIS in mesh.shape
+        and mesh.shape[REPS_AXIS] > 1
+    )
 
     ks = _KS(cfg.seed)
     sampler = make_sampler(
@@ -400,7 +432,14 @@ def immunize_batch(
         loop_keys.append(loop_keys[-1])
     batched = batch_attack_data(datas)
 
-    loop = make_batched_pgd_loop(model, sampler, plan, cfg, batched, mesh=mesh)
+    if use_2d:
+        from tml_image_editing_defense_tpu.parallel.dp_eot import (
+            make_dp_eot_pgd_loop,
+        )
+
+        loop = make_dp_eot_pgd_loop(model, sampler, plan, cfg, batched, mesh)
+    else:
+        loop = make_batched_pgd_loop(model, sampler, plan, cfg, batched, mesh=mesh)
     keys = jnp.stack(loop_keys)
     x_advs, hist = loop(model.params, jnp.stack(sources), batched, keys)
     if debug_out is not None:

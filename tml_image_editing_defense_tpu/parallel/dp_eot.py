@@ -145,3 +145,55 @@ def make_dp_eot_pgd_step(
         return x, {"avg_loss": losses}
 
     return step
+
+
+def make_dp_eot_pgd_loop(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+    batched: AttackData,
+    mesh: Mesh,
+    n_steps=None,
+):
+    """Whole multi-image immunization over the 2-D (data × reps) mesh as ONE
+    program: ``loop(params, x_advs[B], data, keys[B]) -> (x_final,
+    {"avg_loss": [B, N]})``.
+
+    Per-image iteration keys are ``fold_in(key_b, i)`` — the stream
+    :func:`~tml_image_editing_defense_tpu.attack.pgd.make_pgd_loop` and
+    ``run_pgd`` consume — and the per-step rep stream is the serial oracle
+    (module docstring), so each image reproduces its serial ``immunize`` run
+    up to gradient-sum association when the reps axis is >1.  This is the
+    loop :func:`api.immunize_batch` dispatches when ``cfg.eot_shards > 1``.
+    """
+    from jax.sharding import NamedSharding
+
+    n = n_steps or cfg.n_optimization_steps
+    step = make_dp_eot_pgd_step(model, sampler, plan, cfg, batched, mesh)
+
+    def loop(params, x_advs, data, keys):
+        # [N, B] per-iteration keys: fold_in by iteration index per image
+        iter_keys = jax.vmap(
+            lambda i: jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+        )(jnp.arange(n))
+
+        def body(x, ks):
+            x, aux = step(params, x, data, ks)
+            return x, aux["avg_loss"]
+
+        x_final, losses = jax.lax.scan(body, x_advs, iter_keys)   # losses [N, B]
+        return x_final, {"avg_loss": jnp.swapaxes(losses, 0, 1)}
+
+    bspec = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    dspecs = _shard_specs(mesh, batched)
+    return jax.jit(
+        loop,
+        in_shardings=(
+            jax.tree.map(lambda _: repl, model.params),
+            bspec,
+            dspecs,
+            bspec,
+        ),
+    )
