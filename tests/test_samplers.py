@@ -69,6 +69,26 @@ def test_lcm_plan_and_t700_filter(schedule):
     assert bool(np.asarray(p2.is_last)[-1])
 
 
+def test_lcm_strength_slices_built_schedule(schedule):
+    """Strength clips the BUILT K-step LCM schedule by slicing, matching the
+    reference's vendored pipeline (get_timesteps at
+    pipeline_stable_diffusion_img2img.py:711-720 slices
+    ``scheduler.timesteps[t_start:]`` for any scheduler; strength never
+    reaches set_timesteps).  The sweep's LCM-4 eval at strength 0.6
+    (run_all.py:59, inference_strength=0.6) must run 2 steps [519, 279] —
+    previously this re-derived a 4-step schedule from an origin clipped at
+    599 (newer-diffusers set_timesteps(strength=...) semantics, never
+    exercised by the reference)."""
+    s = LCMSampler(schedule)
+    p = s.plan(4, strength=0.6)
+    np.testing.assert_array_equal(np.asarray(p.t_eval), [519, 279])
+    assert int(np.asarray(p.init_timestep)) == 519     # add-noise timestep
+    assert bool(np.asarray(p.is_last)[-1])
+    # strength 1.0 keeps the full schedule
+    np.testing.assert_array_equal(
+        np.asarray(s.plan(4, strength=1.0).t_eval), [999, 759, 519, 279])
+
+
 def test_ddim_step_eta0_deterministic_roundtrip(schedule):
     """eta=0 DDIM applied to exact q(x_t|x0) with the true eps recovers the
     x_{t_prev} consistency: stepping with the true eps must land on

@@ -232,9 +232,6 @@ class LCMSampler(BaseSampler):
         t_train = self.schedule.num_train_timesteps
         c = t_train // self.original_inference_steps
         origin = np.arange(1, self.original_inference_steps + 1) * c - 1  # ascending
-        if strength is not None:
-            # diffusers LCM strength handling: clip the *origin* schedule first.
-            origin = origin[: int(self.original_inference_steps * strength)]
         origin = origin[::-1].copy()
         if len(origin) < num_inference_steps:
             # mirrors diffusers LCMScheduler.set_timesteps' explicit error
@@ -242,11 +239,20 @@ class LCMSampler(BaseSampler):
             raise ValueError(
                 f"num_inference_steps={num_inference_steps} exceeds the "
                 f"{len(origin)} origin timesteps available"
-                + (f" at strength={strength}" if strength is not None else "")
-                + f" (original_inference_steps={self.original_inference_steps})"
+                f" (original_inference_steps={self.original_inference_steps})"
             )
         skipping = len(origin) // num_inference_steps
         ts = origin[::skipping][:num_inference_steps].astype(np.int64)
+        # Strength clips the *built* K-step schedule, exactly like every other
+        # sampler: the reference's vendored pipeline applies strength by
+        # slicing ``scheduler.timesteps[t_start:]`` AFTER ``set_timesteps(K)``
+        # for any scheduler incl. LCM (pipeline_stable_diffusion_img2img.py:
+        # 711-720, 1042-1046; strength never reaches set_timesteps).  LCM-4 at
+        # strength 0.6 therefore runs 2 steps [519, 279] — not a re-derived
+        # 4-step schedule from an origin clipped at 599 (which is newer
+        # diffusers' LCMScheduler.set_timesteps(strength=...) semantics, a
+        # path the reference never exercises).
+        ts = _apply_strength(ts, num_inference_steps, strength)
         if limit_t is not None:
             ts = ts[ts < limit_t]
         if min_t is not None:
