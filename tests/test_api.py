@@ -399,6 +399,51 @@ def test_sweep_eot_shards_override_survives(img_file, tmp_path, monkeypatch):
     assert seen == [2]                      # singleton group path too
 
 
+def test_sweep_eval_inherits_geometry_and_skip_knob(img_file, tmp_path,
+                                                    monkeypatch):
+    """sweep()'s inline eval must mirror the trained-against geometry
+    (image_size/model_family from train_overrides — previously hard-coded
+    512/default, which broke eval for any non-default sweep), and
+    SweepConfig.run_inference=False must skip eval while still returning
+    per-cell results."""
+    from tml_image_editing_defense_tpu.configs import SweepConfig
+    import tml_image_editing_defense_tpu.api as api_mod
+
+    class _Res:
+        model = None
+
+    def fake_immunize(train_cfg, model=None, **kw):
+        out = Path(train_cfg.output_path)
+        out.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            out / "adversarial_image.png")
+        return _Res()
+
+    captured = []
+    monkeypatch.setattr(api_mod, "immunize", fake_immunize)
+    monkeypatch.setattr(
+        api_mod, "evaluate",
+        lambda inf_cfg, *a, **kw: captured.append(inf_cfg) or [])
+
+    cfg = SweepConfig(
+        images_dir=img_file.parent, output_root=tmp_path / "geom",
+        n_prompts_grid=(1,), n_noises_grid=(1,), n_optimization_steps=1,
+    )
+    api_mod.sweep(cfg, data_parallel=False,
+                  train_overrides={"model_family": "tiny", "image_size": 32})
+    assert len(captured) == 1
+    assert captured[0].image_size == 32
+    assert captured[0].model_family == "tiny"
+
+    captured.clear()
+    cfg2 = dataclasses.replace(cfg, output_root=tmp_path / "skip",
+                               run_inference=False)
+    results = api_mod.sweep(cfg2, data_parallel=False)
+    assert captured == []                  # eval never invoked
+    assert len(results) == 1               # cells still reported
+    assert (Path(results[0]["output"]) / "adversarial_image.png").exists()
+
+
 def test_sweep_data_parallel_matches_serial(tmp_path, tiny_model, monkeypatch):
     """A 4-image sweep fused through immunize_batch over the 8-device mesh
     must produce the exact artifacts of the serial per-cell path (VERDICT

@@ -83,50 +83,38 @@ print("DIST_OK", pid, mine)
 """
 
 
-# What launch_tpu_pod.sh runs per host, reduced to tiny shapes: derive this
-# host's image shard, then run the REAL sweep over it (each host's local
-# 8-device mesh takes the data-parallel fused path when it has >1 image).
-# argv: mode("single"|process_id) images_dir output_root port
-_SWEEP_WORKER = """
-import sys
-from pathlib import Path
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-mode, imgs_dir, out_root, port = sys.argv[1:5]
-
-import tml_image_editing_defense_tpu.api as api
-from tml_image_editing_defense_tpu.configs import SweepConfig
-from tml_image_editing_defense_tpu.parallel.hosts import (
-    list_sweep_images, shard_for_host)
-
-api.evaluate = lambda *a, **k: []   # this test compares training artifacts
-
-OVERRIDES = dict(
+# Tiny-shape sweep settings shared by the serial oracle worker and the
+# launcher's --local-sim config JSON (run_inference=False: this test compares
+# training artifacts; the artifact round-trip keeps them evaluable later).
+_TRAIN_OVERRIDES = dict(
     model_family="tiny", image_size=32, n_denoising_steps_per_iteration=2,
     limit_timesteps=False, derive_norm_hyperparams=False, grad_reps=1,
     apply_loss_on_latents=True, apply_loss_on_images=False,
     perturbation_loss_lambda=0.0, enable_visualization=False,
     eps=0.1, step_size=0.02, norm_type="linf", remat_policy="none",
 )
-cfg = SweepConfig(
-    images_dir=Path(imgs_dir), output_root=Path(out_root),
-    n_prompts_grid=(1,), n_noises_grid=(1,), n_optimization_steps=2,
-    use_lcm=True, seed=3,
-)
-images = list_sweep_images(imgs_dir)
-if mode == "single":
-    mine = images
-    data_parallel = False          # the serial oracle
-else:
-    jax.distributed.initialize(coordinator_address="localhost:" + port,
-                               num_processes=2, process_id=int(mode))
-    mine = shard_for_host(images, jax.process_index(), jax.process_count())
-    data_parallel = True           # per-host local-mesh DP, the real pod path
-api.sweep(cfg, image_paths=mine, data_parallel=data_parallel,
-          train_overrides=OVERRIDES)
-print("SWEEP_DONE", mode, [p.name for p in mine])
+_SWEEP_FIELDS = dict(n_prompts_grid=(1,), n_noises_grid=(1,),
+                     n_optimization_steps=2, use_lcm=True, seed=3,
+                     run_inference=False)
+
+# The single-host serial oracle: the full image list through api.sweep's
+# sequential path (data_parallel=False).  argv: images_dir output_root
+_SERIAL_WORKER = f"""
+import sys
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+imgs_dir, out_root = sys.argv[1:3]
+
+import tml_image_editing_defense_tpu.api as api
+from tml_image_editing_defense_tpu.configs import SweepConfig
+
+cfg = SweepConfig(images_dir=Path(imgs_dir), output_root=Path(out_root),
+                  **{_SWEEP_FIELDS!r})
+api.sweep(cfg, data_parallel=False, train_overrides={_TRAIN_OVERRIDES!r})
+print("SWEEP_DONE single")
 """
 
 
@@ -187,15 +175,18 @@ def test_two_process_jax_distributed_cpu(tmp_path):
         assert "DIST_OK" in out
 
 
-def test_two_host_sweep_matches_single_host(tmp_path):
-    """The multi-host tier EXECUTES: two `jax.distributed` processes each run
-    the real per-host sweep path (strided image shard → local-mesh
-    data-parallel `sweep`) and the union of their artifacts is byte-identical
-    to a single-host run over the full image list.  This is
-    `launch_tpu_pod.sh`'s execution contract (reference analog: the manual
-    two-GPU split at run_all.py:16-21), previously evidenced only by a
-    dry-run and an init smoke test."""
-    import socket
+def test_launcher_local_sim_matches_single_host(tmp_path):
+    """The multi-host tier EXECUTES through the SHIPPED launcher:
+    `launch_tpu_pod.sh --local-sim 2` spawns two `jax.distributed` CPU
+    processes that each run the real per-host program
+    (`tml_image_editing_defense_tpu/launch_host.py` — the same module the
+    gcloud pod path runs), and the union of their artifacts is byte-identical
+    to a single-host serial run over the full image list.  Reference analog:
+    the manual two-GPU split at run_all.py:16-21.  Previous rounds evidenced
+    this tier only with a dry-run, an init smoke test, and a worker script
+    that *mirrored* the launcher; this executes the launcher itself."""
+    import json
+    import os
 
     import numpy as np
     from PIL import Image
@@ -207,30 +198,30 @@ def test_two_host_sweep_matches_single_host(tmp_path):
         arr = rng.uniform(0, 255, (40, 40, 3)).astype(np.uint8)
         Image.fromarray(arr).save(imgs_dir / f"im{i}.png")
 
-    script = tmp_path / "sweep_worker.py"
-    script.write_text(_SWEEP_WORKER)
     single_root = tmp_path / "single"
     multi_root = tmp_path / "multi"
 
-    outs = _run_workers(
-        [[str(script), "single", str(imgs_dir), str(single_root), "0"]])
+    script = tmp_path / "serial_worker.py"
+    script.write_text(_SERIAL_WORKER)
+    outs = _run_workers([[str(script), str(imgs_dir), str(single_root)]])
     assert outs[0][0] == 0, f"single-host sweep failed:\n{outs[0][2][-2000:]}"
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    outs = _run_workers(
-        [[str(script), str(pid), str(imgs_dir), str(multi_root), str(port)]
-         for pid in range(2)])
-    shard_names = []
-    for rc, out, err in outs:
-        assert rc == 0, f"host worker failed:\n{err[-2000:]}"
-        assert "SWEEP_DONE" in out
-        shard_names.append(out)
-
+    config_json = tmp_path / "sweep.json"
+    config_json.write_text(json.dumps(
+        {"sweep": {k: list(v) if isinstance(v, tuple) else v
+                   for k, v in _SWEEP_FIELDS.items()},
+         "train_overrides": _TRAIN_OVERRIDES}))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        ["bash", str(REPO / "scripts" / "launch_tpu_pod.sh"), "--local-sim",
+         "2", str(imgs_dir), str(multi_root), str(config_json)],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, f"launcher --local-sim failed:\n{out.stderr[-3000:]}"
     # every host did real, disjoint work (3 images over 2 hosts: 2 + 1)
-    assert "'im0.png', 'im2.png'" in shard_names[0]
-    assert "'im1.png'" in shard_names[1]
+    assert "HOST_SWEEP_DONE process=0/2 images=['im0.png', 'im2.png']" in out.stdout
+    assert "HOST_SWEEP_DONE process=1/2 images=['im1.png']" in out.stdout
 
     singles = sorted(p.relative_to(single_root)
                      for p in single_root.rglob("adversarial_image.png"))

@@ -810,19 +810,33 @@ def sweep(cfg: SweepConfig, model: Optional[DiffusionModel] = None,
             )
             model = res.model      # reuse across cells
 
-    # Evaluation per cell (artifact round-trip, run_all.py:62-66)
+    # Evaluation per cell (artifact round-trip, run_all.py:62-66);
+    # cfg.run_inference=False stops after training (artifacts remain
+    # evaluable later — the uint8 PNG round-trip is the contract)
     results = []
     for cell in cells:
         cell_dir, image_path = cell["dir"], cell["image"]
         n_noises, seed = cell["n_noises"], cell["seed"]
+        if not cfg.run_inference:
+            results.append({"image": str(image_path),
+                            "n_prompts": cell["n_prompts"],
+                            "n_noises": n_noises, "seed": seed,
+                            "output": str(cell_dir)})
+            continue
         adv = Image.open(cell_dir / "adversarial_image.png").convert("RGB")
         noise_file = cell_dir / "noise.npz"
         pool = load_noise_pool(noise_file) if noise_file.exists() else None
+        # Mirror the trained-against geometry/family: the reference always
+        # evaluates at its fixed 512² (run_all.py:69-93), but here a sweep
+        # can train at any size/family via train_overrides, and the eval
+        # preprocessing must match the adversarial artifact it loads.
         inf_cfg = InferenceConfig(
             experiment_name=cell["train_cfg"].experiment_name,
             source_image_path=image_path,
             target_image_path=image_path,
             output_path=cell_dir,
+            image_size=cell["train_cfg"].image_size,
+            model_family=cell["train_cfg"].model_family,
             n_steps=cfg.inference_n_steps,
             guidance_scale=cfg.inference_guidance_scale,
             strength=cfg.inference_strength,

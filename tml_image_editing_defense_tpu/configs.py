@@ -365,6 +365,10 @@ class SweepConfig:
     inference_strength: float = 0.6
     inference_guidance_scale: float = 7.5
     seed: Optional[int] = None            # None = random per cell (run_all.py:41)
+    #: Run the per-cell evaluation stage (run_all.py:69-93).  False = training
+    #: only — the adversarial artifacts are still written and can be evaluated
+    #: later via ``api.evaluate`` (the artifact round-trip is the contract).
+    run_inference: bool = True
 
     def __post_init__(self):
         self.images_dir = Path(self.images_dir)
