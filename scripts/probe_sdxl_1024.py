@@ -111,14 +111,29 @@ def main():
                                  perturbation_loss_lambda=0.0)),
         ("full_image_r10", dict()),   # the reference L2 config
     ]
+    # PROBE_REMAT="dots:1,full:0" → (remat_policy, remat_vae) variants of
+    # the latent-loss step.  The flash-2 analytic attention backward freed
+    # ~1.7 GB of XLA temp at 1024² (docs/PERF.md); this knob measures
+    # whether a lighter remat now fits in the freed headroom and pays.
+    if _os.environ.get("PROBE_REMAT"):
+        variants = []
+        for spec in _os.environ["PROBE_REMAT"].split(","):
+            policy, vae = spec.split(":")
+            variants.append((
+                f"{policy}_vae{vae}_latent_r10",
+                dict(apply_loss_on_images=False, apply_loss_on_latents=True,
+                     perturbation_loss_lambda=0.0, remat_policy=policy,
+                     remat_vae=bool(int(vae))),
+            ))
     for name, extra in variants:
         try:
             cfg = TrainConfig(
                 norm_type="l2", n_denoising_steps_per_iteration=4,
                 limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
                 use_sdxl=True, image_size=1024, dtype="bfloat16",
-                eot_mode="scan", remat_policy="full", prompts=list(PROMPTS_LIST),
-                unroll_denoise=False, remat_vae=True, **extra,
+                eot_mode="scan", prompts=list(PROMPTS_LIST),
+                unroll_denoise=False,
+                **{"remat_policy": "full", "remat_vae": True, **extra},
             )
             data = make_attack_data(xl, cfg, src, jnp.zeros_like(src), bank, pool)
             step = jax.jit(make_pgd_step(xl, sampler, plan, cfg))
