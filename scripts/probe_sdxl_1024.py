@@ -173,9 +173,11 @@ def main():
             log(f"[{name}] {min(ts):.3f} s/step, peak HBM "
                 f"{mem.get('peak_bytes_in_use', 0) / 2**30:.2f} GB")
         except Exception as e:
+            # Full text to stderr: RESOURCE_EXHAUSTED allocation tables are
+            # the whole point of a failed run (CLAUDE.md "HTTP 500" note).
+            log(f"[{name}] FAILED (full error follows):\n{e}")
             emit(probe=f"sdxl_1024_pgd_step_{name}",
                  error=f"{type(e).__name__}: {str(e)[:300]}")
-            log(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":
