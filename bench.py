@@ -66,6 +66,38 @@ def _make_src(key, dtype):
     return src.astype(dtype)
 
 
+def diffusion_step_flops(model, cfg, plan, data, src, dtype) -> int:
+    """Analytic model FLOPs of one diffusion PGD step (both families).
+
+    Traces the UNet (with SDXL text_time conditioning when the attack data
+    carries pooled embeds), VAE encode, and VAE decode jaxprs — trace only,
+    no compile — and combines them with the step structure
+    (utils/flops.pgd_step_model_flops)."""
+    from tml_image_editing_defense_tpu.utils import flops as F
+
+    lat = jnp.zeros((2,) + model.latent_shape[1:], dtype)
+    ctx2 = jnp.zeros((2,) + data.bank_embeds.shape[1:], dtype)
+    kw = {}
+    if data.bank_pooled is not None:
+        kw["text_embeds"] = jnp.zeros((2, data.bank_pooled.shape[-1]), dtype)
+        kw["time_ids"] = jnp.zeros((2, 6), dtype)
+    unet1 = F.count_fn_flops(
+        lambda p, l, t, c: model.apply_unet(p["unet"], l, t, c, **kw),
+        model.params, lat, jnp.asarray(519, jnp.int32), ctx2,
+    )
+    enc = F.count_fn_flops(
+        lambda p, im: model.encode_image(p["vae"], im), model.params, src,
+    )
+    dec = F.count_fn_flops(
+        lambda p, z: model.decode_latent(p["vae"], z, scaled=False),
+        model.params, jnp.zeros(model.latent_shape, dtype),
+    )
+    return F.pgd_step_model_flops(
+        plan.num_steps * unet1, enc, dec, cfg.grad_reps,
+        image_loss=cfg.apply_loss_on_images,
+    )
+
+
 def sd15_legs(dtype) -> dict:
     """Encoder-attack headline + SD-1.5 diffusion PGD leg.  Returns ONLY
     plain Python numbers so every device reference dies on return."""
@@ -172,23 +204,7 @@ def sd15_legs(dtype) -> dict:
         # recompute NOT counted) / wall-clock / peak chip bf16 FLOPs.
         from tml_image_editing_defense_tpu.utils import flops as F
 
-        lat = jnp.zeros((2,) + model.latent_shape[1:], dtype)
-        ctx2 = jnp.zeros((2, data.bank_embeds.shape[1], data.bank_embeds.shape[2]), dtype)
-        unet1 = F.count_fn_flops(
-            lambda p, l, t, c: model.apply_unet(p["unet"], l, t, c),
-            model.params, lat, jnp.asarray(519, jnp.int32), ctx2,
-        )
-        enc = F.count_fn_flops(
-            lambda p, im: model.encode_image(p["vae"], im), model.params, src,
-        )
-        dec = F.count_fn_flops(
-            lambda p, z: model.decode_latent(p["vae"], z, scaled=False),
-            model.params, jnp.zeros(model.latent_shape, dtype),
-        )
-        step_flops = F.pgd_step_model_flops(
-            plan.num_steps * unet1, enc, dec, cfg.grad_reps,
-            image_loss=cfg.apply_loss_on_images,
-        )
+        step_flops = diffusion_step_flops(model, cfg, plan, data, src, dtype)
         out["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
         diff_mfu = F.mfu(step_flops, diff_s_per_step)
         if diff_mfu is not None:
@@ -196,6 +212,9 @@ def sd15_legs(dtype) -> dict:
             log(f"diffusion MFU: {diff_mfu:.1%} "
                 f"({step_flops/1e12:.1f} model TFLOPs / step)")
         # encoder attack MFU: per PGD step = encode fwd+bwd at batch 8
+        enc = F.count_fn_flops(
+            lambda p, im: model.encode_image(p["vae"], im), model.params, src,
+        )
         enc_step_flops = F.input_grad_flops(8 * enc)
         enc_mfu = F.mfu(enc_step_flops * n_enc_steps, out["enc_s_per_image"] * 8)
         if enc_mfu is not None:
@@ -254,6 +273,22 @@ def sdxl_leg(dtype) -> dict:
             ts.append(time.time() - t0)
         out["sdxl_pgd_s_per_step"] = round(min(ts), 4)
         log(f"SDXL diffusion step: {min(ts):.3f}s")
+
+        try:
+            # trace-only analytic MFU (same counting as the SD-1.5 leg);
+            # never let a counting failure taint the timing above
+            from tml_image_editing_defense_tpu.utils import flops as F
+
+            step_flops = diffusion_step_flops(xl, cfg, xplan, xdata, src, dtype)
+            out["sdxl_model_tflops_per_step"] = round(step_flops / 1e12, 2)
+            xl_mfu = F.mfu(step_flops, min(ts))
+            if xl_mfu is not None:
+                out["sdxl_mfu"] = round(xl_mfu, 4)
+                log(f"SDXL MFU: {xl_mfu:.1%} "
+                    f"({step_flops/1e12:.1f} model TFLOPs / step)")
+        except Exception as e:
+            log(f"SDXL MFU counting failed (timing unaffected): "
+                f"{type(e).__name__}: {e}")
     except Exception as e:
         log(f"SDXL bench failed: {type(e).__name__}: {e}")
         out["sdxl_error"] = f"{type(e).__name__}: {e}"
@@ -265,14 +300,23 @@ def wait_for_backend() -> None:
 
     The axon backend has been observed to HANG in-process for >60 min during
     infra outages ("UNAVAILABLE: TPU backend setup/compile error"), which
-    would otherwise turn a driver bench run into a zero.  Probe device init
-    in a short-timeout subprocess and only proceed once it succeeds (or a
+    would otherwise turn a driver bench run into a zero.  Probe in a
+    short-timeout subprocess and only proceed once it succeeds (or a
     deadline passes — then let the real error surface in-process).
+
+    The probe runs a tiny jitted matmul, not just ``jax.devices()``: a
+    second outage mode (observed live) leaves device *listing* healthy while
+    compile/execute hangs, so an init-only probe reports recovery into a
+    backend that still swallows the first real program.
     """
     import subprocess
 
     deadline = time.time() + float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500"))
-    probe = "import jax; print(jax.devices()[0])"
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(jax.jit(lambda x: (x @ x).sum())"
+        "(jnp.ones((128, 128), jnp.bfloat16)))"
+    )
     attempt = 0
     while True:
         attempt += 1

@@ -37,6 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default="/tmp/tid_trace_r3")
+    ap.add_argument("--family", default="sd15", choices=["sd15", "sdxl"],
+                    help="profile the SD-1.5 or the SDXL@512 bench-leg step")
+    ap.add_argument("--attn-chunk", default="512",
+                    help="attn_kv_chunk for the build: an int or 'none' (fused)")
     args = ap.parse_args()
 
     from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
@@ -46,17 +50,20 @@ def main():
     from tml_image_editing_defense_tpu.models import build_model
 
     dtype = jnp.bfloat16
-    model = build_model("sd15", key=jax.random.key(0), dtype=dtype,
-                        fast_init=True, attn_kv_chunk=512)
+    chunk = None if args.attn_chunk == "none" else int(args.attn_chunk)
+    model = build_model(args.family, key=jax.random.key(0), dtype=dtype,
+                        image_size=512, fast_init=True, attn_kv_chunk=chunk)
     src = jnp.clip(jax.random.normal(jax.random.key(1), (1, 512, 512, 3),
                                      jnp.float32) * 0.4, -1, 1).astype(dtype)
     cfg = TrainConfig(norm_type="l2", n_denoising_steps_per_iteration=4,
                       limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
+                      use_sdxl=args.family == "sdxl",
                       image_size=512, dtype="bfloat16", eot_mode="scan",
                       remat_policy="none")
     sampler = LCMSampler(model.schedule)
     plan = sampler.plan(4, limit_t=700)
-    bank = model.embed_prompt_bank([p + ", detailed" for p in cfg.prompts[:8]])
+    n_bank = 8 if args.family == "sd15" else 4      # match the bench legs
+    bank = model.embed_prompt_bank([p + ", detailed" for p in cfg.prompts[:n_bank]])
     pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
     data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
