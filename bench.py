@@ -1,20 +1,29 @@
-"""Headline benchmark — prints ONE JSON line for the driver.
+"""Headline benchmark — prints driver-parseable JSON lines (LAST line wins).
 
 Primary metric: wall-clock to immunize one 512² image with the SD-1.5
 encoder attack (200 PGD steps, L∞), per chip — BASELINE.md's quantified
 north-star target is < 5 s/image/chip, so ``vs_baseline = 5.0 / value``
 (>1 ⇒ target beaten).  Extra keys report the diffusion-attack PGD step rate
-(reference L2 config: 10 EOT reps × 2 LCM steps × CFG, remat backprop).
+(reference L2 config: 10 EOT reps × 2 LCM steps × CFG, remat backprop) and
+the SDXL step rate.
+
+Driver robustness (VERDICT r3 item 1 — round 3's perf was lost to rc=124):
+the bench is a sequence of LEGS.  A complete JSON result line is printed to
+stdout immediately after the FIRST (headline) leg and re-printed, updated,
+after every later leg — so a driver kill at any point still leaves a valid
+last line.  A wall-clock deadline (env ``BENCH_DEADLINE_S``, measured from
+process start) skips any remaining leg whose estimated cost no longer fits,
+flushing what exists instead of timing out with nothing.
 
 Models are random-weight but full-architecture SD-1.5 (identical compute
 graph and cost to converted checkpoints), bf16 on the MXU.
-All progress goes to stderr; stdout carries exactly the one JSON line.
+All progress goes to stderr; stdout carries only JSON result lines.
 
-HBM hygiene (VERDICT r2 item 1): the SD-1.5 legs run inside a function whose
-device references die on return; every surviving device buffer is then
-explicitly deleted before the 2.57B-param SDXL leg builds.  Without this the
-SDXL fwd+bwd program (7.9 GB XLA temp + 5.1 GB params) OOMs the 16 GB chip
-next to the resident SD-1.5 bundle (BENCH_r02: RESOURCE_EXHAUSTED).
+HBM hygiene (VERDICT r2 item 1): the SD-1.5 legs keep their device
+references inside the leg state; the SDXL leg drops them and then deletes
+every surviving device buffer before the 2.57B-param build.  Without this
+the SDXL fwd+bwd program (7.9 GB XLA temp + 5.1 GB params) OOMs the 16 GB
+chip next to the resident SD-1.5 bundle (BENCH_r02: RESOURCE_EXHAUSTED).
 """
 
 from __future__ import annotations
@@ -24,10 +33,12 @@ import os
 import sys
 import time
 
+_T_START = time.time()
+
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: remote TPU compiles here run ~1-3 min for the
+# Persistent compilation cache: remote TPU compiles here run ~1-5 min for the
 # big fwd+bwd programs; caching makes driver re-runs near-instant.
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -44,7 +55,7 @@ def free_all_device_memory() -> None:
     """Drop every live device buffer + cached executable this process holds.
 
     ``jax.clear_caches()`` alone keeps arrays alive through Python refs; the
-    caller must let its references die first (run legs inside a function),
+    caller must let its references die first (pop them from the leg state),
     then this deletes whatever stragglers remain (donated outputs, cached
     constants) so the next leg starts from an empty HBM.
     """
@@ -66,13 +77,24 @@ def _make_src(key, dtype):
     return src.astype(dtype)
 
 
-def diffusion_step_flops(model, cfg, plan, data, src, dtype) -> int:
+def vae_encode_flops(model, src) -> int:
+    """Trace-only FLOP count of one VAE image encode (shared by the encoder
+    MFU and the diffusion-step FLOP model — traced exactly once per leg)."""
+    from tml_image_editing_defense_tpu.utils import flops as F
+
+    return F.count_fn_flops(
+        lambda p, im: model.encode_image(p["vae"], im), model.params, src,
+    )
+
+
+def diffusion_step_flops(model, cfg, plan, data, src, dtype, enc=None) -> int:
     """Analytic model FLOPs of one diffusion PGD step (both families).
 
     Traces the UNet (with SDXL text_time conditioning when the attack data
-    carries pooled embeds), VAE encode, and VAE decode jaxprs — trace only,
-    no compile — and combines them with the step structure
-    (utils/flops.pgd_step_model_flops)."""
+    carries pooled embeds), VAE encode (reused via ``enc`` when the caller
+    already traced it), and VAE decode jaxprs — trace only, no compile — and
+    combines them with the step structure (utils/flops.pgd_step_model_flops).
+    """
     from tml_image_editing_defense_tpu.utils import flops as F
 
     lat = jnp.zeros((2,) + model.latent_shape[1:], dtype)
@@ -85,9 +107,8 @@ def diffusion_step_flops(model, cfg, plan, data, src, dtype) -> int:
         lambda p, l, t, c: model.apply_unet(p["unet"], l, t, c, **kw),
         model.params, lat, jnp.asarray(519, jnp.int32), ctx2,
     )
-    enc = F.count_fn_flops(
-        lambda p, im: model.encode_image(p["vae"], im), model.params, src,
-    )
+    if enc is None:
+        enc = vae_encode_flops(model, src)
     dec = F.count_fn_flops(
         lambda p, z: model.decode_latent(p["vae"], z, scaled=False),
         model.params, jnp.zeros(model.latent_shape, dtype),
@@ -98,32 +119,35 @@ def diffusion_step_flops(model, cfg, plan, data, src, dtype) -> int:
     )
 
 
-def sd15_legs(dtype) -> dict:
-    """Encoder-attack headline + SD-1.5 diffusion PGD leg.  Returns ONLY
-    plain Python numbers so every device reference dies on return."""
-    from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+# --------------------------------------------------------------------------
+# Legs.  Each leg takes the shared mutable ``state`` dict and returns a dict
+# of result keys to merge; device-holding objects go in under "_"-prefixed
+# keys (stripped from the emitted JSON).
+# --------------------------------------------------------------------------
+
+
+def encoder_leg(state: dict) -> dict:
+    """HEADLINE: 200-step SD-1.5 encoder-attack immunization (L∞)."""
     from tml_image_editing_defense_tpu.attack.encoder_attack import (
         make_encoder_attack_loop,
     )
-    from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
-    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
-    from tml_image_editing_defense_tpu.core.samplers import LCMSampler
     from tml_image_editing_defense_tpu.models import build_model
 
+    dtype = state["_dtype"]
     out: dict = {}
     t0 = time.time()
     # attn_kv_chunk=512: the training-path attention impl (api.immunize's
     # choice at 512²) — the benched programs are all fwd+bwd attacks.
     model = build_model("sd15", key=jax.random.key(0), dtype=dtype,
                         fast_init=True, attn_kv_chunk=512)
-    log(f"built SD-1.5 bundle (random bf16 weights) in {time.time() - t0:.1f}s")
+    out["build_s"] = round(time.time() - t0, 1)
+    log(f"built SD-1.5 bundle (random bf16 weights) in {out['build_s']}s")
 
     key = jax.random.key(1)
     src = _make_src(key, dtype)
 
-    # ---- 1. encoder attack: 200-step immunization, one scan --------------
-    # Headline = per-chip throughput at batch 8 (a sweep immunizes many
-    # images; batch-1 latency reported as an extra key).
+    # 200-step immunization, one scan.  Headline = per-chip throughput at
+    # batch 8 (a sweep immunizes many images; batch-1 latency as extra key).
     n_enc_steps = 200
     enc_loop = jax.jit(
         make_encoder_attack_loop(
@@ -157,76 +181,91 @@ def sd15_legs(dtype) -> dict:
     out["enc_s_per_image"] = measure_encoder(8)
     out["n_enc_steps"] = n_enc_steps
 
-    # ---- 2. diffusion attack PGD step (reference L2 config) --------------
-    try:
-        cfg = TrainConfig(
-            norm_type="l2",                      # → eps=32, step 7.5, reps 10
-            n_denoising_steps_per_iteration=4,
-            limit_timesteps=True,                # → 2 effective LCM steps
-            guidance_scale=3.0,
-            use_lcm=True,
-            image_size=512,
-            dtype="bfloat16",
-            eot_mode="scan",
-            remat_policy="none",   # sweep winner: 2.42 s/step vs dots 2.66
-            prompts=list(PROMPTS_LIST),
-        )
-        sampler = LCMSampler(model.schedule)
-        plan = sampler.plan(cfg.n_denoising_steps_per_iteration, limit_t=700)
-        bank = model.embed_prompt_bank(
-            [p + ", detailed" for p in cfg.prompts[:8]]  # bank slice: same cost/step
-        )
-        pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
-        data = make_attack_data(model, cfg, src,
-                                jnp.zeros_like(src), bank, pool)
-        step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
-        t0 = time.time()
-        x1, aux = step(model.params, src, data, jax.random.key(3))
-        jax.block_until_ready(x1)
-        log(f"diffusion PGD step compile+first-run {time.time() - t0:.1f}s "
-            f"(loss {float(aux['avg_loss']):.1f})")
-        t0 = time.time()
-        n_meas = 3
-        x = x1
-        for i in range(n_meas):
-            x, aux = step(model.params, x, data, jax.random.key(200 + i))
-        jax.block_until_ready(x)
-        diff_s_per_step = (time.time() - t0) / n_meas
-        out.update({
-            "diffusion_pgd_s_per_step": round(diff_s_per_step, 4),
-            "diffusion_pgd_steps_per_sec": round(1.0 / diff_s_per_step, 4),
-            "diffusion_200step_s_per_image": round(200 * diff_s_per_step, 2),
-        })
-        log(f"diffusion attack: {diff_s_per_step:.3f} s/PGD-step "
-            f"({1/diff_s_per_step:.2f} steps/s; 10 reps × 2 LCM steps × CFG)")
+    # encoder-attack MFU: per PGD step = encode fwd + input-grad bwd at B=8
+    from tml_image_editing_defense_tpu.utils import flops as F
 
-        # Analytic MFU: useful model FLOPs (fwd + 2×fwd for bwd, remat
-        # recompute NOT counted) / wall-clock / peak chip bf16 FLOPs.
-        from tml_image_editing_defense_tpu.utils import flops as F
+    enc = vae_encode_flops(model, src)
+    enc_step_flops = F.input_grad_flops(8 * enc)
+    enc_mfu = F.mfu(enc_step_flops * n_enc_steps, out["enc_s_per_image"] * 8)
+    if enc_mfu is not None:
+        out["encoder_mfu"] = round(enc_mfu, 4)
+        log(f"encoder-attack MFU: {enc_mfu:.1%}")
 
-        step_flops = diffusion_step_flops(model, cfg, plan, data, src, dtype)
-        out["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
-        diff_mfu = F.mfu(step_flops, diff_s_per_step)
-        if diff_mfu is not None:
-            out["mfu"] = round(diff_mfu, 4)
-            log(f"diffusion MFU: {diff_mfu:.1%} "
-                f"({step_flops/1e12:.1f} model TFLOPs / step)")
-        # encoder attack MFU: per PGD step = encode fwd+bwd at batch 8
-        enc = F.count_fn_flops(
-            lambda p, im: model.encode_image(p["vae"], im), model.params, src,
-        )
-        enc_step_flops = F.input_grad_flops(8 * enc)
-        enc_mfu = F.mfu(enc_step_flops * n_enc_steps, out["enc_s_per_image"] * 8)
-        if enc_mfu is not None:
-            out["encoder_mfu"] = round(enc_mfu, 4)
-            log(f"encoder-attack MFU: {enc_mfu:.1%}")
-    except Exception as e:  # keep the primary metric even if this leg fails
-        log(f"diffusion bench failed: {type(e).__name__}: {e}")
-        out["diffusion_error"] = f"{type(e).__name__}: {e}"
+    out["_model"] = model
+    out["_src"] = src
+    out["_enc_flops"] = enc
     return out
 
 
-def sdxl_leg(dtype) -> dict:
+def diffusion_leg(state: dict) -> dict:
+    """SD-1.5 diffusion-attack PGD step (reference L2 config)."""
+    from tml_image_editing_defense_tpu.attack import make_attack_data, make_pgd_step
+    from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.core.samplers import LCMSampler
+    from tml_image_editing_defense_tpu.models import build_model  # noqa: F401
+
+    dtype = state["_dtype"]
+    model = state["_model"]
+    src = state["_src"]
+    out: dict = {}
+    cfg = TrainConfig(
+        norm_type="l2",                      # → eps=32, step 7.5, reps 10
+        n_denoising_steps_per_iteration=4,
+        limit_timesteps=True,                # → 2 effective LCM steps
+        guidance_scale=3.0,
+        use_lcm=True,
+        image_size=512,
+        dtype="bfloat16",
+        eot_mode="scan",
+        remat_policy="none",   # sweep winner: 2.42 s/step vs dots 2.66
+        prompts=list(PROMPTS_LIST),
+    )
+    sampler = LCMSampler(model.schedule)
+    plan = sampler.plan(cfg.n_denoising_steps_per_iteration, limit_t=700)
+    bank = model.embed_prompt_bank(
+        [p + ", detailed" for p in cfg.prompts[:8]]  # bank slice: same cost/step
+    )
+    pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
+    data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
+    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    t0 = time.time()
+    x1, aux = step(model.params, src, data, jax.random.key(3))
+    jax.block_until_ready(x1)
+    log(f"diffusion PGD step compile+first-run {time.time() - t0:.1f}s "
+        f"(loss {float(aux['avg_loss']):.1f})")
+    t0 = time.time()
+    n_meas = 3
+    x = x1
+    for i in range(n_meas):
+        x, aux = step(model.params, x, data, jax.random.key(200 + i))
+    jax.block_until_ready(x)
+    diff_s_per_step = (time.time() - t0) / n_meas
+    out.update({
+        "diffusion_pgd_s_per_step": round(diff_s_per_step, 4),
+        "diffusion_pgd_steps_per_sec": round(1.0 / diff_s_per_step, 4),
+        "diffusion_200step_s_per_image": round(200 * diff_s_per_step, 2),
+    })
+    log(f"diffusion attack: {diff_s_per_step:.3f} s/PGD-step "
+        f"({1/diff_s_per_step:.2f} steps/s; 10 reps × 2 LCM steps × CFG)")
+
+    # Analytic MFU: useful model FLOPs (fwd + 2×fwd for bwd, remat
+    # recompute NOT counted) / wall-clock / peak chip bf16 FLOPs.
+    from tml_image_editing_defense_tpu.utils import flops as F
+
+    step_flops = diffusion_step_flops(
+        model, cfg, plan, data, src, dtype, enc=state.get("_enc_flops")
+    )
+    out["diffusion_model_tflops_per_step"] = round(step_flops / 1e12, 2)
+    diff_mfu = F.mfu(step_flops, diff_s_per_step)
+    if diff_mfu is not None:
+        out["mfu"] = round(diff_mfu, 4)
+        log(f"diffusion MFU: {diff_mfu:.1%} "
+            f"({step_flops/1e12:.1f} model TFLOPs / step)")
+    return out
+
+
+def sdxl_leg(state: dict) -> dict:
     """SDXL diffusion PGD step (on by default; BENCH_SDXL=0 skips).
 
     Bounded: 512² (the reference's SDXL *training* size in main.py is also
@@ -240,59 +279,127 @@ def sdxl_leg(dtype) -> dict:
     from tml_image_editing_defense_tpu.core.samplers import LCMSampler
     from tml_image_editing_defense_tpu.models import build_model
 
+    dtype = state["_dtype"]
+    # all SD-1.5 device references live in the leg state; drop them, then
+    # reclaim HBM before the 2.57B-param build (VERDICT r2 item 1)
+    for k in ("_model", "_src", "_enc_flops"):
+        state.pop(k, None)
+    free_all_device_memory()
+
     out: dict = {}
+    t0 = time.time()
+    xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
+                     image_size=512, fast_init=True, attn_kv_chunk=512)
+    log(f"built SDXL bundle in {time.time() - t0:.1f}s")
+    src = _make_src(jax.random.key(1), dtype)
+    cfg = TrainConfig(
+        norm_type="l2", n_denoising_steps_per_iteration=4,
+        limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
+        use_sdxl=True, image_size=512, dtype="bfloat16",
+        eot_mode="scan", remat_policy="none",   # 1.65 s/step vs 1.80 dots
+        prompts=list(PROMPTS_LIST),
+    )
+    xsampler = LCMSampler(xl.schedule)
+    xplan = xsampler.plan(4, limit_t=700)
+    xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
+    xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
+    xdata = make_attack_data(xl, cfg, src, jnp.zeros_like(src), xbank, xpool)
+    xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
+    t0 = time.time()
+    x1, _ = xstep(xl.params, src, xdata, jax.random.key(9))
+    jax.block_until_ready(x1)
+    log(f"SDXL PGD step compile+first-run {time.time() - t0:.1f}s")
+    ts = []
+    x = x1
+    for i in range(3):
+        t0 = time.time()
+        x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
+        jax.block_until_ready(x)
+        ts.append(time.time() - t0)
+    out["sdxl_pgd_s_per_step"] = round(min(ts), 4)
+    log(f"SDXL diffusion step: {min(ts):.3f}s")
+
     try:
-        t0 = time.time()
-        xl = build_model("sdxl", key=jax.random.key(7), dtype=dtype,
-                         image_size=512, fast_init=True, attn_kv_chunk=512)
-        log(f"built SDXL bundle in {time.time() - t0:.1f}s")
-        src = _make_src(jax.random.key(1), dtype)
-        cfg = TrainConfig(
-            norm_type="l2", n_denoising_steps_per_iteration=4,
-            limit_timesteps=True, guidance_scale=3.0, use_lcm=True,
-            use_sdxl=True, image_size=512, dtype="bfloat16",
-            eot_mode="scan", remat_policy="none",   # 1.65 s/step vs 1.80 dots
-            prompts=list(PROMPTS_LIST),
-        )
-        xsampler = LCMSampler(xl.schedule)
-        xplan = xsampler.plan(4, limit_t=700)
-        xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
-        xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
-        xdata = make_attack_data(xl, cfg, src, jnp.zeros_like(src), xbank, xpool)
-        xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
-        t0 = time.time()
-        x1, _ = xstep(xl.params, src, xdata, jax.random.key(9))
-        jax.block_until_ready(x1)
-        log(f"SDXL PGD step compile+first-run {time.time() - t0:.1f}s")
-        ts = []
-        x = x1
-        for i in range(3):
-            t0 = time.time()
-            x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
-            jax.block_until_ready(x)
-            ts.append(time.time() - t0)
-        out["sdxl_pgd_s_per_step"] = round(min(ts), 4)
-        log(f"SDXL diffusion step: {min(ts):.3f}s")
+        # trace-only analytic MFU (same counting as the SD-1.5 leg);
+        # never let a counting failure taint the timing above
+        from tml_image_editing_defense_tpu.utils import flops as F
 
-        try:
-            # trace-only analytic MFU (same counting as the SD-1.5 leg);
-            # never let a counting failure taint the timing above
-            from tml_image_editing_defense_tpu.utils import flops as F
-
-            step_flops = diffusion_step_flops(xl, cfg, xplan, xdata, src, dtype)
-            out["sdxl_model_tflops_per_step"] = round(step_flops / 1e12, 2)
-            xl_mfu = F.mfu(step_flops, min(ts))
-            if xl_mfu is not None:
-                out["sdxl_mfu"] = round(xl_mfu, 4)
-                log(f"SDXL MFU: {xl_mfu:.1%} "
-                    f"({step_flops/1e12:.1f} model TFLOPs / step)")
-        except Exception as e:
-            log(f"SDXL MFU counting failed (timing unaffected): "
-                f"{type(e).__name__}: {e}")
+        step_flops = diffusion_step_flops(xl, cfg, xplan, xdata, src, dtype)
+        out["sdxl_model_tflops_per_step"] = round(step_flops / 1e12, 2)
+        xl_mfu = F.mfu(step_flops, min(ts))
+        if xl_mfu is not None:
+            out["sdxl_mfu"] = round(xl_mfu, 4)
+            log(f"SDXL MFU: {xl_mfu:.1%} "
+                f"({step_flops/1e12:.1f} model TFLOPs / step)")
     except Exception as e:
-        log(f"SDXL bench failed: {type(e).__name__}: {e}")
-        out["sdxl_error"] = f"{type(e).__name__}: {e}"
+        log(f"SDXL MFU counting failed (timing unaffected): "
+            f"{type(e).__name__}: {e}")
     return out
+
+
+# --------------------------------------------------------------------------
+# Harness: deadline-aware leg runner + incremental JSON emission.
+# --------------------------------------------------------------------------
+
+
+def assemble(state: dict) -> dict:
+    """Build the driver-facing JSON dict from accumulated leg results."""
+    enc_s_per_image = state["enc_s_per_image"]
+    extras = {
+        k: v for k, v in state.items()
+        if not k.startswith("_")
+        and k not in ("enc_b1", "enc_s_per_image", "n_enc_steps")
+    }
+    return {
+        "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
+        "value": round(enc_s_per_image, 4),
+        "unit": "s/image/chip",
+        "vs_baseline": round(5.0 / enc_s_per_image, 3),
+        "encoder_steps_per_sec_per_image": round(
+            state["n_enc_steps"] / enc_s_per_image, 2
+        ),
+        "encoder_batch1_s_per_image": round(state["enc_b1"], 4),
+        "elapsed_s": round(time.time() - _T_START, 1),
+        **extras,
+    }
+
+
+def run_legs(legs, state, deadline, emit=None, now=time.time) -> dict:
+    """Run ``legs`` = [(name, min_est_cost_s, fn), ...] in order against a
+    wall-clock ``deadline`` (absolute, same clock as ``now``).
+
+    - The FIRST leg always runs (it produces the headline metric).
+    - A later leg is skipped when the remaining time is under its estimated
+      cost — the already-emitted result line is the record for this run.
+    - After every completed (or failed) leg, the full result line is
+      re-emitted; the LAST stdout line is the driver's record, so a kill at
+      any point leaves the freshest complete result.
+    - A leg failure is recorded as ``<name>_error`` and never aborts the run.
+    """
+    if emit is None:
+        emit = lambda s: print(s, flush=True)  # noqa: E731
+    first = True
+    for name, est, fn in legs:
+        remaining = deadline - now()
+        if not first and remaining < est:
+            log(f"skipping leg {name!r}: {remaining:.0f}s left < ~{est:.0f}s "
+                "estimated — emitted results stand")
+            state.setdefault("skipped_legs", []).append(name)
+            emit(json.dumps(assemble(state)))
+            continue
+        try:
+            state.update(fn(state))
+        except Exception as e:
+            log(f"{name} leg failed: {type(e).__name__}: {e}")
+            state[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        if first and "enc_s_per_image" not in state:
+            raise RuntimeError(
+                f"headline leg {name!r} produced no metric: "
+                + str(state.get(f"{name}_error"))
+            )
+        emit(json.dumps(assemble(state)))
+        first = False
+    return state
 
 
 def wait_for_backend() -> None:
@@ -314,6 +421,7 @@ def wait_for_backend() -> None:
     deadline = time.time() + float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500"))
     probe = (
         "import jax, jax.numpy as jnp; "
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache'); "
         "print(jax.jit(lambda x: (x @ x).sum())"
         "(jnp.ones((128, 128), jnp.bfloat16)))"
     )
@@ -342,33 +450,24 @@ def wait_for_backend() -> None:
 
 
 def main() -> None:
+    # Deadline measured from process start so backend-outage waits count
+    # against it too.  Default 1380s ≈ the observed driver budget minus the
+    # margin a final emission needs; override with BENCH_DEADLINE_S.
+    deadline = _T_START + float(os.environ.get("BENCH_DEADLINE_S", "1380"))
     wait_for_backend()
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    dtype = jnp.bfloat16
+    state: dict = {"_dtype": jnp.bfloat16, "device": str(dev)}
 
-    sd = sd15_legs(dtype)
-    extras = {k: v for k, v in sd.items()
-              if k not in ("enc_b1", "enc_s_per_image", "n_enc_steps")}
-
+    legs = [
+        ("encoder", 0.0, encoder_leg),
+        # min-useful estimates assume a warm compile cache; a cold leg that
+        # overruns only loses its own numbers — earlier lines already stand
+        ("diffusion", 120.0, diffusion_leg),
+    ]
     if os.environ.get("BENCH_SDXL", "1") != "0":
-        # all SD-1.5 device references died with sd15_legs's frame; now
-        # reclaim HBM before the 2.57B-param build (VERDICT r2 item 1)
-        free_all_device_memory()
-        extras.update(sdxl_leg(dtype))
-
-    enc_s_per_image = sd["enc_s_per_image"]
-    result = {
-        "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
-        "value": round(enc_s_per_image, 4),
-        "unit": "s/image/chip",
-        "vs_baseline": round(5.0 / enc_s_per_image, 3),
-        "encoder_steps_per_sec_per_image": round(sd["n_enc_steps"] / enc_s_per_image, 2),
-        "encoder_batch1_s_per_image": round(sd["enc_b1"], 4),
-        "device": str(dev),
-        **extras,
-    }
-    print(json.dumps(result), flush=True)
+        legs.append(("sdxl", 300.0, sdxl_leg))
+    run_legs(legs, state, deadline)
 
 
 if __name__ == "__main__":

@@ -267,7 +267,13 @@ def test_checkpoint_resume(img_file, tmp_path, tiny_model):
     cfg = _train_cfg(img_file, tmp_path / "c", n_optimization_steps=4,
                      checkpoint_interval=2, enable_visualization=False,
                      image_visualization_interval=1)
-    api.immunize(cfg, model=tiny_model)
+    res = api.immunize(cfg, model=tiny_model)
+    # per-iteration loss history even with visualization off — the
+    # reference logs avg_loss/rec_loss EVERY iteration (main.py:105-107)
+    assert len(res.history) == 4
+    assert all(set(h) == {"avg_loss", "rec_loss", "pert_loss"}
+               for h in res.history)
+    assert np.isfinite([h["avg_loss"] for h in res.history]).all()
     state = tmp_path / "c" / "attack_state.npz"
     assert state.exists()
     # resume completes without error and rewrites artifacts

@@ -1,15 +1,21 @@
 """Unit tests for bench.py's driver-facing harness logic.
 
-The bench itself needs the real TPU chip, but the outage-recovery wait loop
-(`wait_for_backend`) is pure control flow around a subprocess probe and must
-behave deterministically: return immediately when the backend is up, retry
-while it is down, and give up at the deadline so the driver sees the real
-in-process error rather than a silent hang.  (The live-outage behavior was
-also validated against a real tunnel outage — docs/PERF.md.)
+The bench itself needs the real TPU chip, but two pieces are pure control
+flow and must behave deterministically:
+
+- the outage-recovery wait loop (`wait_for_backend`): return immediately
+  when the backend is up, retry while it is down, and give up at the
+  deadline so the driver sees the real in-process error rather than a
+  silent hang (live-outage behavior also validated — docs/PERF.md);
+- the deadline-aware leg runner (`run_legs`, VERDICT r3 item 1): a complete
+  JSON line after EVERY leg so a driver kill mid-leg still leaves a valid
+  last line, skip legs that no longer fit the wall-clock budget, and record
+  (never propagate) later-leg failures.
 """
 
 from __future__ import annotations
 
+import json
 import subprocess
 import sys
 import types
@@ -74,6 +80,88 @@ def test_wait_gives_up_at_deadline(monkeypatch):
     monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "0")
     bench.wait_for_backend()
     assert state["n"] == 1
+
+
+def _headline_leg(state):
+    return {"enc_s_per_image": 2.0, "enc_b1": 5.0, "n_enc_steps": 200,
+            "encoder_mfu": 0.78}
+
+
+def test_run_legs_emits_after_every_leg_and_skips_past_deadline():
+    """Simulated-slow run: the SDXL leg no longer fits the budget → it is
+    skipped and the already-emitted diffusion line is the final record."""
+    emitted = []
+    clock = {"t": 0.0}
+
+    def now():
+        return clock["t"]
+
+    def slow_headline(state):
+        clock["t"] += 900.0  # slow tunnel round (BENCH_r03's failure mode)
+        return _headline_leg(state)
+
+    def diffusion(state):
+        assert state["enc_s_per_image"] == 2.0  # legs see earlier results
+        clock["t"] += 400.0
+        return {"diffusion_pgd_s_per_step": 1.66}
+
+    def sdxl(state):
+        pytest.fail("sdxl leg must be skipped: 80s left < 300s estimate")
+
+    state = bench.run_legs(
+        [("encoder", 0.0, slow_headline),
+         ("diffusion", 120.0, diffusion),
+         ("sdxl", 300.0, sdxl)],
+        {"device": "fake"}, deadline=1380.0, emit=emitted.append, now=now,
+    )
+    assert len(emitted) == 3  # encoder, diffusion, skip-record for sdxl
+    first, last = json.loads(emitted[0]), json.loads(emitted[-1])
+    # the first line is already a complete driver record
+    assert first["value"] == 2.0
+    assert first["unit"] == "s/image/chip"
+    assert first["vs_baseline"] == pytest.approx(2.5)
+    assert "diffusion_pgd_s_per_step" not in first
+    # the last line carries everything measured + the skip record
+    assert last["diffusion_pgd_s_per_step"] == 1.66
+    assert last["skipped_legs"] == ["sdxl"]
+    assert state["skipped_legs"] == ["sdxl"]
+    # no private (device-holding) keys leak into the emitted JSON
+    assert not any(k.startswith("_") for k in last)
+
+
+def test_run_legs_records_later_leg_failure_and_keeps_headline():
+    emitted = []
+
+    def boom(state):
+        raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+
+    bench.run_legs(
+        [("encoder", 0.0, _headline_leg), ("sdxl", 0.0, boom)],
+        {}, deadline=float("inf"), emit=emitted.append,
+    )
+    last = json.loads(emitted[-1])
+    assert last["value"] == 2.0
+    assert "RESOURCE_EXHAUSTED" in last["sdxl_error"]
+
+
+def test_run_legs_headline_failure_raises():
+    def boom(state):
+        raise RuntimeError("no backend")
+
+    with pytest.raises(RuntimeError, match="headline leg"):
+        bench.run_legs([("encoder", 0.0, boom)], {}, deadline=float("inf"),
+                       emit=lambda s: pytest.fail("emitted without headline"))
+
+
+def test_run_legs_first_leg_always_runs_even_past_deadline():
+    """The headline leg is never skipped — a late start (backend outage ate
+    the budget) should still try to produce the one metric that matters."""
+    emitted = []
+    bench.run_legs(
+        [("encoder", 1e9, _headline_leg)],
+        {}, deadline=-1.0, emit=emitted.append,
+    )
+    assert json.loads(emitted[-1])["value"] == 2.0
 
 
 @pytest.mark.parametrize("family,use_sdxl", [("tiny", False), ("tiny-sdxl", True)])

@@ -1,0 +1,336 @@
+"""WHOLE-PROGRAM torch oracle (VERDICT r3 item 3).
+
+Per-module parity (UNet/VAE mirrors, CLIP vs transformers, stateful sampler
+mirrors) proves each part; this module proves the *composition*: the torch
+mirrors are assembled into the reference's literal loops and the end-to-end
+outputs must match ours at f32 tolerance.
+
+Three compositions, each a line-by-line transcription of the reference:
+
+1. ``Trainer.attack_forward`` (``/root/reference/main.py:179-246``): prompt
+   CFG stack → ``vae.encode(image).latent_dist.sample() * 0.18215`` (:191)
+   → ``set_timesteps`` + ``t < 700`` filter (:194-199) → noise-pool pick +
+   ``add_noise(latents, noise, timesteps[:1])`` (:211-216) → K-step
+   cat×2/scale/unet/chunk/CFG/scheduler.step loop (:229-243) →
+   ``latents / 0.18215`` (:245) — vs ``attack/forward.py::attack_forward``.
+2. A FULL PGD iteration — ``compute_grad`` (:144-177: decode, L2-norm rec
+   loss, MSE perturbation loss, ``torch.autograd.grad`` to the input image)
+   inside the ``grad_reps`` EOT loop (:88-102: grad = stack(grads).mean(0))
+   followed by ``perturbation_step`` (:248-276, incl. ``torch.renorm``) —
+   vs one jitted ``attack/pgd.py::make_pgd_step`` dispatch.
+3. One img2img ``__call__`` (``/root/reference/pipelines/
+   pipeline_stable_diffusion_img2img.py:1042-1129``): strength slicing
+   (:711-720), ``prepare_latents`` with the caller-fixed ``noise``
+   (:779-783), the PLMS CFG denoise loop (:1081-1124), VAE decode +
+   ``(x/2+0.5).clamp(0,1)`` postprocess (:1126-1140) — vs
+   ``pipelines/img2img.py::Img2ImgPipeline.__call__``.
+
+Both sides consume IDENTICAL stochastic draws: the torch side replays the
+jax key stream (documented in attack/pgd.py: k_prompt/k_reps → per-rep
+k_noise/k_fwd → k_vae/k_chain → per-step keys), so any output divergence is
+compute composition, not RNG.  Weights flow through ``export_state_dict``,
+the same converter the real-checkpoint path uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from test_sampler_mirror_oracle import MirrorPNDM
+from test_unet_vae_torch_parity import (
+    _nchw,
+    _nhwc,
+    torch_unet,
+    torch_vae_decode,
+    torch_vae_encode,
+)
+
+from tml_image_editing_defense_tpu.attack.forward import CondInputs, attack_forward
+from tml_image_editing_defense_tpu.attack.pgd import (
+    AttackData,
+    make_attack_data,
+    make_pgd_step,
+)
+from tml_image_editing_defense_tpu.configs import TrainConfig
+from tml_image_editing_defense_tpu.core.samplers import LCMSampler, PLMSSampler
+from tml_image_editing_defense_tpu.models import build_model
+from tml_image_editing_defense_tpu.models.convert import export_state_dict
+from tml_image_editing_defense_tpu.models.model_zoo import PromptBank
+from tml_image_editing_defense_tpu.models.unet import TINY_UNET
+from tml_image_editing_defense_tpu.models.vae import TINY_VAE
+
+SIZE = 32
+LAT = (1, 16, 16, 4)  # tiny VAE downsamples 32² by 2
+GS = 3.0
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_model("tiny", key=jax.random.key(0), image_size=SIZE)
+
+
+@pytest.fixture(scope="module")
+def sds(model):
+    return (export_state_dict(model.params["unet"], "unet"),
+            export_state_dict(model.params["vae"], "vae"))
+
+
+@pytest.fixture(scope="module")
+def acp(model):
+    return np.asarray(model.schedule.alphas_cumprod, np.float32)
+
+
+def _rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32) * scale
+
+
+# --------------------------------------------------------------------------
+# torch-side reference transcriptions
+# --------------------------------------------------------------------------
+
+
+def torch_encode_sample(sd_vae, image_t, eps_t, scaling):
+    """``vae.encode(image).latent_dist.sample() * 0.18215`` (main.py:191)
+    with the posterior draw ``eps_t`` supplied (same draw as our
+    ``sample_latent``)."""
+    mean, logvar = torch_vae_encode(sd_vae, TINY_VAE, image_t)
+    return (mean + torch.exp(0.5 * logvar) * eps_t) * scaling
+
+
+def torch_lcm_attack_forward(
+    sd_unet, sd_vae, acp, image_t, ctx_t, timesteps, sel_noise_t,
+    step_noises_t, eps_vae_t, guidance_scale, scaling,
+):
+    """Literal ``Trainer.attack_forward`` (main.py:179-246) over the torch
+    mirrors with LCMScheduler semantics (diffusers: timestep_scaling=10,
+    sigma_data=0.5; per-step noise injection except at the final step)."""
+    latents = torch_encode_sample(sd_vae, image_t, eps_vae_t, scaling)
+    # add_noise(image_latents, selected_noise, timesteps_tensor[:1])  :216
+    a0 = float(acp[int(timesteps[0])])
+    latents = np.sqrt(a0) * latents + np.sqrt(1.0 - a0) * sel_noise_t
+    for i, t in enumerate(timesteps):                      # :229-243
+        latent_in = torch.cat([latents] * 2)               # :230
+        # LCMScheduler.scale_model_input is identity
+        pred = torch_unet(sd_unet, TINY_UNET, latent_in, torch.tensor(int(t)),
+                          ctx_t)
+        uncond, text = pred.chunk(2)                        # :239-240
+        eps = uncond + guidance_scale * (text - uncond)
+        # LCMScheduler.step
+        a_t = float(acp[int(t)])
+        x0 = (latents - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+        s = float(t) * 10.0
+        c_skip = 0.25 / (s * s + 0.25)
+        c_out = s / np.sqrt(s * s + 0.25)
+        denoised = c_out * x0 + c_skip * latents
+        if i == len(timesteps) - 1:
+            latents = denoised
+        else:
+            a_prev = float(acp[int(timesteps[i + 1])])
+            latents = (np.sqrt(a_prev) * denoised
+                       + np.sqrt(1.0 - a_prev) * step_noises_t[i])
+    return latents / scaling                               # :245
+
+
+def lcm_timesteps(acp, k=4, limit=700):
+    """set_timesteps(K) + the reference's ``t < 700`` filter (main.py:194-199)."""
+    c = len(acp) // 50
+    origin = (np.arange(1, 51) * c - 1)[::-1]
+    ts = origin[:: 50 // k][:k]
+    return np.asarray([t for t in ts if t < limit], np.int64)
+
+
+def replay_chain_keys(k_fwd, n_steps, lat_shape):
+    """The draws attack_forward makes from ``k_fwd``: posterior eps from
+    k_vae, per-step LCM noise from split(k_chain, n) (attack/forward.py)."""
+    k_vae, k_chain = jax.random.split(k_fwd)
+    eps_vae = np.asarray(jax.random.normal(k_vae, lat_shape, jnp.float32))
+    step_keys = jax.random.split(k_chain, n_steps)
+    step_noises = [
+        np.asarray(jax.random.normal(step_keys[i], lat_shape, jnp.float32))
+        for i in range(n_steps)
+    ]
+    return eps_vae, step_noises
+
+
+# --------------------------------------------------------------------------
+# 1. attack_forward composition
+# --------------------------------------------------------------------------
+
+
+def test_attack_forward_matches_reference_composition(model, sds, acp):
+    sd_unet, sd_vae = sds
+    sampler = LCMSampler(model.schedule)
+    plan = sampler.plan(4, limit_t=700)
+    ts = lcm_timesteps(acp)
+    np.testing.assert_array_equal(np.asarray(plan.t_eval), ts)
+
+    image = jnp.clip(_rand(10, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    ctx = _rand(11, (2, 7, TINY_UNET.cross_attention_dim))
+    noise = _rand(12, LAT)
+    key = jax.random.key(42)
+
+    ours = attack_forward(
+        model, sampler, plan, model.params, image, CondInputs(ctx=ctx),
+        noise, GS, key, remat_policy="none",
+    )
+
+    eps_vae, step_noises = replay_chain_keys(key, len(ts), LAT)
+    theirs = torch_lcm_attack_forward(
+        sd_unet, sd_vae, acp, _nchw(image), torch.from_numpy(np.asarray(ctx)),
+        ts, _nchw(noise), [_nchw(sn) for sn in step_noises], _nchw(eps_vae),
+        GS, float(model.vae_scaling),
+    )
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
+                               rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# 2. full PGD iteration
+# --------------------------------------------------------------------------
+
+
+def test_full_pgd_iteration_matches_reference_trainer(model, sds, acp):
+    """One jitted make_pgd_step dispatch == the reference's grad_reps EOT
+    loop + grad mean + L2 perturbation step (main.py:88-102, 144-177,
+    248-268), on identical draws."""
+    sd_unet, sd_vae = sds
+    sampler = LCMSampler(model.schedule)
+    plan = sampler.plan(4, limit_t=700)
+    ts = lcm_timesteps(acp)
+
+    cfg = TrainConfig(
+        norm_type="l2", derive_norm_hyperparams=False, eps=12.0,
+        step_size=1.5, grad_reps=2, guidance_scale=GS, image_size=SIZE,
+        n_denoising_steps_per_iteration=4, limit_timesteps=True,
+        apply_loss_on_images=True, perturbation_loss_lambda=0.3,
+        rec_loss_lambda=1.0, eot_mode="scan", remat_policy="none",
+        prompts=["a", "b", "c"],
+    )
+
+    P, N = 3, 4
+    bank = PromptBank(
+        embeds=_rand(20, (P, 7, TINY_UNET.cross_attention_dim)),
+        uncond=_rand(21, (7, TINY_UNET.cross_attention_dim)),
+    )
+    pool = _rand(22, (N,) + LAT)
+    source = jnp.clip(_rand(23, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    target = jnp.clip(_rand(24, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    data = make_attack_data(model, cfg, source, target, bank, pool)
+    x_adv0 = jnp.clip(source + _rand(25, source.shape, 0.01), -1, 1)
+    key = jax.random.key(77)
+
+    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    x1, aux = step(model.params, x_adv0, data, key)
+
+    # ---- torch side: Trainer.run's inner iteration, literally -------------
+    scaling = float(model.vae_scaling)
+    src_t = _nchw(source)
+    tgt_t = _nchw(target)
+    x0_t = _nchw(x_adv0)
+    # target_latent: ours uses the posterior mean (key=None in
+    # make_attack_data) — mirror that deterministically
+    tgt_mean, _ = torch_vae_encode(sd_vae, TINY_VAE, tgt_t)
+
+    k_prompt, k_reps = jax.random.split(key)
+    prompt_idx = int(jax.random.randint(k_prompt, (), 0, P))
+    ctx_t = torch.from_numpy(np.asarray(
+        jnp.stack([bank.uncond, bank.embeds[prompt_idx]])))
+    rep_keys = jax.random.split(k_reps, cfg.grad_reps)
+
+    all_grads, losses = [], []
+    with torch.enable_grad():
+        for r in range(cfg.grad_reps):
+            k_noise, k_fwd = jax.random.split(rep_keys[r])
+            idx = int(jax.random.randint(k_noise, (), 0, N))
+            eps_vae, step_noises = replay_chain_keys(k_fwd, len(ts), LAT)
+
+            cur = x0_t.clone().requires_grad_(True)        # main.py:152-153
+            out_latent = torch_lcm_attack_forward(
+                sd_unet, sd_vae, acp, cur, ctx_t, ts,
+                _nchw(pool[idx]), [_nchw(sn) for sn in step_noises],
+                _nchw(eps_vae), GS, scaling,
+            )
+            out_image = torch_vae_decode(sd_vae, TINY_VAE, out_latent)
+            rec = (out_image - tgt_t).norm(p=2)            # main.py:160
+            pert = torch.nn.functional.mse_loss(out_image, src_t)
+            loss = (cfg.rec_loss_lambda * rec
+                    + cfg.perturbation_loss_lambda * pert)  # main.py:169
+            (grad,) = torch.autograd.grad(loss, [cur])      # main.py:176
+            all_grads.append(grad)
+            losses.append(float(loss.detach()))
+
+        grad = torch.stack(all_grads).mean(0)               # main.py:102
+        # perturbation_step, L2 branch (main.py:254-268)
+        gnorm = torch.norm(grad.reshape(grad.shape[0], -1), dim=1).view(-1, 1, 1, 1)
+        gn = grad / (gnorm + 1e-10)
+        x_adv = x0_t - gn * cfg.step_size
+        d_x = x_adv - src_t
+        d_x = torch.renorm(d_x, p=2, dim=0, maxnorm=cfg.eps)
+        x_adv = torch.clamp(src_t + d_x, cfg.min_value, cfg.max_value)
+
+    np.testing.assert_allclose(float(aux["avg_loss"]), np.mean(losses),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(x1), _nhwc(x_adv.detach()),
+                               rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# 3. img2img pipeline __call__
+# --------------------------------------------------------------------------
+
+
+def test_img2img_call_matches_reference_pipeline(model, sds, acp, monkeypatch):
+    """Full PLMS edit with strength slicing and caller-fixed noise: our
+    ``Img2ImgPipeline.__call__`` vs the vendored pipeline's ``__call__``
+    transcribed over the mirrors (CLIP enters as a shared precomputed
+    embedding — its own parity is tests/test_clip_torch_parity.py)."""
+    sd_unet, sd_vae = sds
+    from tml_image_editing_defense_tpu.pipelines.img2img import Img2ImgPipeline
+
+    K, strength, gs = 4, 0.6, 7.5
+    ctx = _rand(30, (2, 7, TINY_UNET.cross_attention_dim))
+    image = jnp.clip(_rand(31, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    noise = _rand(32, LAT)
+    key = jax.random.key(5)
+
+    pipe = Img2ImgPipeline(model, sampler="plms")
+    monkeypatch.setattr(pipe, "_prepare_cond", lambda *a, **kw: (ctx, None, None))
+    ours = pipe(
+        "ignored", image, num_inference_steps=K, guidance_scale=gs,
+        strength=strength, noise=noise, key=key, output_type="np",
+    )
+
+    # --- torch/numpy reference: get_timesteps slicing + fixed-noise
+    #     prepare_latents + CFG loop (vendored pipeline :711-720, :779-783,
+    #     :1081-1129) ---
+    mirror = MirrorPNDM(acp)
+    mirror.set_timesteps(K)
+    t_start = max(K - min(int(K * strength), K), 0)
+    ts = mirror.timesteps[t_start:]                          # :711-720
+    our_plan = PLMSSampler(model.schedule).plan(K, strength=strength)
+    np.testing.assert_array_equal(np.asarray(our_plan.t_eval), ts)
+
+    k_vae, _k_chain = jax.random.split(key)
+    eps_vae = np.asarray(jax.random.normal(k_vae, LAT, jnp.float32))
+    z = torch_encode_sample(sd_vae, _nchw(image), _nchw(eps_vae),
+                            float(model.vae_scaling))
+    lat = mirror.add_noise(z.numpy(), _nchw(noise).numpy(), int(ts[0]))  # :779-783
+    for t in ts:                                             # :1081-1124
+        inp = np.concatenate([lat, lat])                     # PNDM scale = identity
+        pred = torch_unet(sd_unet, TINY_UNET, torch.from_numpy(inp),
+                          torch.tensor(int(t)),
+                          torch.from_numpy(np.asarray(ctx)))
+        uncond, text = pred.chunk(2)
+        guided = (uncond + gs * (text - uncond)).numpy()
+        lat = mirror.step(guided, int(t), lat)
+    dec = torch_vae_decode(sd_vae, TINY_VAE,
+                           torch.from_numpy(lat / float(model.vae_scaling)))
+    theirs = torch.clamp(dec / 2 + 0.5, 0, 1)                # :1126-1140
+
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
+                               rtol=2e-4, atol=2e-4)

@@ -472,6 +472,12 @@ def run_pgd(
     run resumed at iteration k from a checkpoint continues the *same* RNG
     stream an uninterrupted run would have consumed — no repeated EOT
     samples (sequential split-and-advance replayed the stream from 0).
+
+    The returned history has one ``{avg_loss, rec_loss, pert_loss}`` entry
+    per executed iteration — matching the reference's every-iteration
+    ``wandb.log`` (main.py:105-107).  Loss scalars are held as device arrays
+    while the loop runs (async dispatch, zero extra syncs on the hot path)
+    and fetched once at the end.
     """
     import contextlib
 
@@ -479,20 +485,23 @@ def run_pgd(
     ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
            else contextlib.nullcontext())
     x_adv = data.source if x_init is None else x_init
-    history = []
+    scalar_keys = ("avg_loss", "rec_loss", "pert_loss")
+    pending = []   # device scalars only — never the (large) output_image
+    preempted = None
     n = cfg.n_optimization_steps
     with ctx:
         for it in range(start_iteration, n):
             if stop_flag:
-                history.append({"preempted_at": it})
+                preempted = {"preempted_at": it}
                 break
             sub = jax.random.fold_in(key, it)
             x_adv, aux = step(model.params, x_adv, data, sub)
+            pending.append({k: aux[k] for k in scalar_keys})
             if vis_callback is not None and (
                 it % cfg.image_visualization_interval == 0 or it == n - 1
             ):
                 vis_callback(it, x_adv, aux)
-                history.append(
-                    {k: float(aux[k]) for k in ("avg_loss", "rec_loss", "pert_loss")}
-                )
+    history = [{k: float(e[k]) for k in scalar_keys} for e in pending]
+    if preempted is not None:
+        history.append(preempted)
     return x_adv, history

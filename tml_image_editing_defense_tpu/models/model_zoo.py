@@ -169,35 +169,46 @@ _FAMILIES = {
 }
 
 
-def _fast_random_params(shapes_tree, seed: int, dtype) -> dict:
-    """Host-side random init from an ``eval_shape`` tree: fan-in-scaled
-    normals for kernels, zeros/ones for biases/norm scales.  Avoids
-    compiling the (huge) on-device init graph — for the full SD-1.5 bundle
-    this turns a ~10-minute device init into seconds, with weight statistics
-    good enough for benchmarking and tests (for real runs load converted
-    checkpoints via models/convert.py)."""
+def _fast_random_params(shapes_tree, key: jax.Array, dtype) -> dict:
+    """ON-DEVICE random init from an ``eval_shape`` tree: fan-in-scaled
+    normals for kernels, zeros/ones for biases/norm scales, one jitted
+    program for the whole tree.  Weight statistics are good enough for
+    benchmarking and tests; real runs load converted checkpoints
+    (models/convert.py).
+
+    Why on-device (measured over the TPU tunnel, docs/PERF.md round 4):
+    flax's real ``init`` compiles the full forward (~10 min); host numpy +
+    per-leaf ``jnp.asarray(arr, bf16)`` compiles a convert op per fresh
+    shape through the remote helper (338 s cold / 144 s warm for SD-1.5);
+    host numpy + one whole-tree ``device_put`` degrades in the axon plugin
+    on 1130-leaf transfers (365 s); host generation itself is ~40-100 s for
+    the billion-param bundles.  Generating with ``jax.random.normal`` inside
+    one jit costs zero host↔device bytes and one trivially-compiled,
+    persistently-cached program."""
     from flax import traverse_util
 
-    rng = np.random.default_rng(seed)
     flat = traverse_util.flatten_dict(shapes_tree)
-    out = {}
-    for path, leaf in flat.items():
-        name, shape = path[-1], tuple(leaf.shape)
-        if name == "bias":
-            arr = np.zeros(shape, np.float32)
-        elif name == "scale":
-            arr = np.ones(shape, np.float32)
-        elif name == "kernel":
-            fan_in = int(np.prod(shape[:-1]))
-            # draw natively in f32: float64 normals double the host time and
-            # memory for the 2.6B-param SDXL tree
-            arr = rng.standard_normal(shape, dtype=np.float32)
-            arr *= np.float32(1.0 / np.sqrt(max(fan_in, 1)))
-        else:  # embeddings
-            arr = rng.standard_normal(shape, dtype=np.float32)
-            arr *= np.float32(0.02)
-        out[path] = jnp.asarray(arr, dtype)
-    return traverse_util.unflatten_dict(out)
+
+    def gen(key):
+        out = {}
+        for i, (path, leaf) in enumerate(flat.items()):
+            name, shape = path[-1], tuple(leaf.shape)
+            if name == "bias":
+                out[path] = jnp.zeros(shape, dtype)
+            elif name == "scale":
+                out[path] = jnp.ones(shape, dtype)
+            elif name == "kernel":
+                fan_in = int(np.prod(shape[:-1]))
+                out[path] = jax.random.normal(
+                    jax.random.fold_in(key, i), shape, dtype
+                ) * np.float32(1.0 / np.sqrt(max(fan_in, 1)))
+            else:  # embeddings
+                out[path] = jax.random.normal(
+                    jax.random.fold_in(key, i), shape, dtype
+                ) * np.float32(0.02)
+        return traverse_util.unflatten_dict(out)
+
+    return jax.jit(gen)(key)
 
 
 def param_shapes(family: str, image_size: Optional[int] = None) -> dict:
@@ -328,7 +339,6 @@ def build_model(
         img = jnp.zeros((1, image_size, image_size, vae_cfg.in_channels), dtype)
         ids = jnp.zeros((1, text_cfgs[0].max_length), jnp.int32)
         if fast_init:
-            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
             u_shapes = jax.eval_shape(
                 lambda: unet.init(jax.random.key(0), sample, jnp.zeros((), jnp.int32), ctx, **kwargs)
             )["params"]
@@ -338,10 +348,11 @@ def build_model(
                 for tm, c in zip(texts, text_cfgs)
             ]
             params = {
-                "unet": _fast_random_params(u_shapes, seed, dtype),
-                "vae": _fast_random_params(v_shapes, seed + 1, dtype),
+                "unet": _fast_random_params(u_shapes, jax.random.fold_in(key, 0), dtype),
+                "vae": _fast_random_params(v_shapes, jax.random.fold_in(key, 1), vae_dtype),
                 "text": tuple(
-                    _fast_random_params(s, seed + 2 + i, dtype) for i, s in enumerate(t_shapes)
+                    _fast_random_params(s, jax.random.fold_in(key, 2 + i), dtype)
+                    for i, s in enumerate(t_shapes)
                 ),
             }
         else:

@@ -220,9 +220,8 @@ def build_tiny_autoencoder(
         if fast_init:
             from tml_image_editing_defense_tpu.models.model_zoo import _fast_random_params
 
-            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
             shapes = jax.eval_shape(lambda: module.init(jax.random.key(0), img))["params"]
-            params = _fast_random_params(shapes, seed, dtype)
+            params = _fast_random_params(shapes, key, dtype)
         else:
             params = module.init(key, img)["params"]
     return TinyAutoencoder(module=module, params=params)
