@@ -182,30 +182,57 @@ def _fast_random_params(shapes_tree, key: jax.Array, dtype) -> dict:
     shape through the remote helper (338 s cold / 144 s warm for SD-1.5);
     host numpy + one whole-tree ``device_put`` degrades in the axon plugin
     on 1130-leaf transfers (365 s); host generation itself is ~40-100 s for
-    the billion-param bundles.  Generating with ``jax.random.normal`` inside
-    one jit costs zero host↔device bytes and one trivially-compiled,
-    persistently-cached program."""
+    the billion-param bundles.  Generating inside one jit costs zero
+    host↔device bytes and one persistently-cached program.
+
+    The program draws flat normal pools and carves per-leaf static slices
+    from them: a per-leaf ``fold_in`` + ``normal`` variant compiled a
+    threefry subgraph per leaf, which at SDXL scale (~1700 leaves) took the
+    remote helper 650+ s to compile cold; a handful of threefry ops + ~1700
+    slice/reshape/scale ops compiles in seconds.  Pools are bounded at
+    64 M elements each so the transient (pool + finished leaves) stays a
+    few % over the final parameter footprint — one whole-tree pool would
+    peak at 2× params (20 GB for SDXL f32, an OOM on the 16 GB chip)."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(shapes_tree)
+    POOL_CAP = 64 * 1024 * 1024
+    # assign each drawn leaf a (pool index, offset) ahead of trace
+    assign = {}
+    pool_sizes = []
+    fill = POOL_CAP  # force a new pool on first drawn leaf
+    for path, leaf in flat.items():
+        if path[-1] in ("bias", "scale"):
+            continue
+        n = int(np.prod(tuple(leaf.shape)))
+        if fill + n > POOL_CAP and fill > 0:
+            pool_sizes.append(0)
+            fill = 0
+        assign[path] = (len(pool_sizes) - 1, fill)
+        pool_sizes[-1] += n
+        fill += n
 
     def gen(key):
+        pools = [
+            jax.random.normal(jax.random.fold_in(key, g), (sz,), dtype)
+            for g, sz in enumerate(pool_sizes)
+        ]
         out = {}
-        for i, (path, leaf) in enumerate(flat.items()):
+        for path, leaf in flat.items():
             name, shape = path[-1], tuple(leaf.shape)
             if name == "bias":
                 out[path] = jnp.zeros(shape, dtype)
             elif name == "scale":
                 out[path] = jnp.ones(shape, dtype)
-            elif name == "kernel":
-                fan_in = int(np.prod(shape[:-1]))
-                out[path] = jax.random.normal(
-                    jax.random.fold_in(key, i), shape, dtype
-                ) * np.float32(1.0 / np.sqrt(max(fan_in, 1)))
-            else:  # embeddings
-                out[path] = jax.random.normal(
-                    jax.random.fold_in(key, i), shape, dtype
-                ) * np.float32(0.02)
+            else:
+                g, off = assign[path]
+                n = int(np.prod(shape))
+                draw = jax.lax.slice(pools[g], (off,), (off + n,)).reshape(shape)
+                if name == "kernel":
+                    fan_in = int(np.prod(shape[:-1]))
+                    out[path] = draw * np.float32(1.0 / np.sqrt(max(fan_in, 1)))
+                else:  # embeddings
+                    out[path] = draw * np.float32(0.02)
         return traverse_util.unflatten_dict(out)
 
     return jax.jit(gen)(key)
