@@ -73,6 +73,14 @@ def test_immunize_produces_artifacts(img_file, tmp_path, tiny_model):
     assert np.isfinite(d).all()
     pool = load_noise_pool(tmp_path / "noise.npz")
     assert pool.shape[0] == cfg.n_noise
+    # metrics.jsonl carries one scalar row per iteration (reference logs
+    # avg/rec/pert every iteration, main.py:105-107): vis-interval rows are
+    # written live, the rest backfilled from the device-side history
+    import json as _json
+
+    rows = [_json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    steps = sorted(r["step"] for r in rows if "avg_loss" in r)
+    assert steps == list(range(cfg.n_optimization_steps))
 
 
 def test_evaluate_grids(img_file, tmp_path, tiny_model):

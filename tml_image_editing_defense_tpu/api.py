@@ -247,9 +247,12 @@ def immunize(
     ckpt_path = Path(cfg.output_path) / "attack_state.npz"
     it_holder = {"it": start_it}
 
+    logged_steps = set()
+
     def vis_callback(it, x_adv, aux):
         logs = {k: aux[k] for k in ("avg_loss", "rec_loss", "pert_loss")}
         it_holder["it"] = it
+        logged_steps.add(it)
         images = None
         if cfg.enable_visualization:
             adv = image_ops.to_pil(np.asarray(x_adv).transpose(0, 3, 1, 2))
@@ -287,6 +290,9 @@ def immunize(
         last_it = history[-1].get("preempted_at", it_holder["it"]) if history else 0
         save_attack_state(ckpt_path, x_adv, last_it, loop_key, noise_pool)
         print(f"[immunize] preempted at iteration {last_it}; state -> {ckpt_path}")
+    # every-iteration scalar record (reference parity: main.py:105-107);
+    # steps already written live by the vis callback are skipped
+    logger.log_history(history, start_step=start_it, skip=logged_steps)
 
     adv_pil = image_ops.to_pil(np.asarray(x_adv).transpose(0, 3, 1, 2))
     out_dir = Path(cfg.output_path)

@@ -80,6 +80,38 @@ class MetricsLogger:
                 payload.update({k: self._wandb.Image(v) for k, v in images.items()})
             self._wandb.log(payload, step=step)
 
+    def log_history(self, history, start_step: int = 0, skip=()):
+        """Backfill one JSONL row per iteration from a PGD loss history.
+
+        The reference logs avg/rec/pert every iteration (``main.py:105-107``);
+        our hot loop only syncs scalars to the host at visualization
+        intervals, so the full per-iteration history (held as device arrays,
+        fetched once after the loop) is flushed here.  Steps in ``skip`` were
+        already written live by the vis callback; rows carry explicit step
+        numbers, so order in the file is not significant.
+        """
+        if self._jsonl is None:
+            return
+        skip = set(skip)
+        for i, entry in enumerate(history):
+            step = start_step + i
+            if step in skip or "avg_loss" not in entry:
+                # the preemption marker appended after the loop is not an
+                # iteration record
+                continue
+            scalars = {
+                k: float(v) for k, v in entry.items()
+                if isinstance(v, (int, float, np.floating, np.integer))
+                or getattr(v, "ndim", None) == 0
+            }
+            if not scalars:
+                continue
+            self._jsonl.write(
+                json.dumps({"step": step, "t": time.time() - self._t0,
+                            **scalars}) + "\n"
+            )
+        self._jsonl.flush()
+
     def log_image(self, tag: str, image, caption: str = "", step: Optional[int] = None):
         if self._wandb is not None:
             self._wandb.log({tag: self._wandb.Image(image, caption=caption)},
