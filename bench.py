@@ -77,6 +77,35 @@ def _make_src(key, dtype):
     return src.astype(dtype)
 
 
+# Measured calls must differ bit-wise from EVERY previous run, not only from
+# each other within a run: the axon runtime caches executions on
+# (executable, args) SERVER-side, the persistent compile cache makes the
+# executables byte-identical across runs, and fast_init params are
+# deterministic — so constant per-call keys (key(100+i)) replay as ~2 ms
+# no-ops the second time the full bench runs in one sandbox (observed:
+# encoder leg "0.0002 s/image" on a repeat run).  Salt every measured/warmup
+# key with process entropy; model-build keys stay constant on purpose (a
+# cached generator execution is a harmless speedup, params are identical).
+_ENTROPY = int(time.time_ns()) & 0x7FFFFFFF
+
+
+def _measure_key(i: int):
+    return jax.random.key(_ENTROPY ^ ((0x9E3779B9 * (i + 1)) & 0x7FFFFFFF))
+
+
+def _sync(x) -> float:
+    """Force COMPLETION of the program that produced ``x`` (any array; uses
+    its first element) and return that element as a float.
+
+    ``jax.block_until_ready`` is a NO-OP on the current axon plugin —
+    dispatch is fully async and only host value fetches wait (measured: a
+    34 s program "blocks" in 0.000 s; the wait moved entirely to the first
+    ``float(...)``).  Every timed region must therefore end in a scalar
+    fetch.  An execution materializes all outputs atomically, so fetching
+    one element waits for the whole program."""
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
 def vae_encode_flops(model, src) -> int:
     """Trace-only FLOP count of one VAE image encode (shared by the encoder
     MFU and the diffusion-step FLOP model — traced exactly once per leg)."""
@@ -143,8 +172,8 @@ def encoder_leg(state: dict) -> dict:
     out["build_s"] = round(time.time() - t0, 1)
     log(f"built SD-1.5 bundle (random bf16 weights) in {out['build_s']}s")
 
-    key = jax.random.key(1)
-    src = _make_src(key, dtype)
+    key = _measure_key(1)
+    src = _make_src(jax.random.key(1), dtype)
 
     # 200-step immunization, one scan.  Headline = per-chip throughput at
     # batch 8 (a sweep immunizes many images; batch-1 latency as extra key).
@@ -159,18 +188,19 @@ def encoder_leg(state: dict) -> dict:
         srcB = jnp.broadcast_to(src, (batch, 512, 512, 3))
         target_latent = model.encode_image(model.params["vae"], srcB)
         t0 = time.time()
-        x_adv, _ = enc_loop(model.params, srcB, target_latent, key)
-        jax.block_until_ready(x_adv)
+        x_adv, losses = enc_loop(model.params, srcB, target_latent, key)
+        _sync(losses)
         log(f"encoder B={batch} compile+first-run {time.time() - t0:.1f}s")
-        # NOTE: vary the key per call — the axon runtime caches executions
-        # with bit-identical arguments, silently zeroing the measurement.
+        # NOTE: vary the key per call (axon caches executions on identical
+        # (executable, args)) AND end the timed region in a _sync fetch
+        # (block_until_ready does not block on this plugin).
         times = []
         for i in range(3):
             t0 = time.time()
-            x_adv, _ = enc_loop(
-                model.params, srcB, target_latent, jax.random.key(100 + i)
+            x_adv, losses = enc_loop(
+                model.params, srcB, target_latent, _measure_key(100 + i)
             )
-            jax.block_until_ready(x_adv)
+            _sync(losses)
             times.append(time.time() - t0)
         per_img = min(times) / batch
         log(f"encoder attack B={batch}: {per_img:.3f} s/image "
@@ -203,7 +233,6 @@ def diffusion_leg(state: dict) -> dict:
     from tml_image_editing_defense_tpu.configs import PROMPTS_LIST, TrainConfig
     from tml_image_editing_defense_tpu.core.rng import make_noise_pool
     from tml_image_editing_defense_tpu.core.samplers import LCMSampler
-    from tml_image_editing_defense_tpu.models import build_model  # noqa: F401
 
     dtype = state["_dtype"]
     model = state["_model"]
@@ -230,16 +259,16 @@ def diffusion_leg(state: dict) -> dict:
     data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
     t0 = time.time()
-    x1, aux = step(model.params, src, data, jax.random.key(3))
-    jax.block_until_ready(x1)
+    x1, aux = step(model.params, src, data, _measure_key(3))
+    first_loss = _sync(aux["avg_loss"])
     log(f"diffusion PGD step compile+first-run {time.time() - t0:.1f}s "
-        f"(loss {float(aux['avg_loss']):.1f})")
+        f"(loss {first_loss:.1f})")
     t0 = time.time()
     n_meas = 3
     x = x1
     for i in range(n_meas):
-        x, aux = step(model.params, x, data, jax.random.key(200 + i))
-    jax.block_until_ready(x)
+        x, aux = step(model.params, x, data, _measure_key(200 + i))
+    _sync(aux["avg_loss"])  # steps chain on x; one fetch syncs the chain
     diff_s_per_step = (time.time() - t0) / n_meas
     out.update({
         "diffusion_pgd_s_per_step": round(diff_s_per_step, 4),
@@ -306,15 +335,15 @@ def sdxl_leg(state: dict) -> dict:
     xdata = make_attack_data(xl, cfg, src, jnp.zeros_like(src), xbank, xpool)
     xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
     t0 = time.time()
-    x1, _ = xstep(xl.params, src, xdata, jax.random.key(9))
-    jax.block_until_ready(x1)
+    x1, xaux = xstep(xl.params, src, xdata, _measure_key(9))
+    _sync(xaux["avg_loss"])
     log(f"SDXL PGD step compile+first-run {time.time() - t0:.1f}s")
     ts = []
     x = x1
     for i in range(3):
         t0 = time.time()
-        x, _ = xstep(xl.params, x, xdata, jax.random.key(300 + i))
-        jax.block_until_ready(x)
+        x, xaux = xstep(xl.params, x, xdata, _measure_key(300 + i))
+        _sync(xaux["avg_loss"])
         ts.append(time.time() - t0)
     out["sdxl_pgd_s_per_step"] = round(min(ts), 4)
     log(f"SDXL diffusion step: {min(ts):.3f}s")

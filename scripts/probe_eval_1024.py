@@ -89,6 +89,13 @@ def main():
     out = {"family": family, "size": size, "steps": steps, "sampler": sampler,
            "n_prompts": n, "device": str(dev)}
 
+    def sync(o):
+        # jax.block_until_ready does NOT reliably block on the axon plugin
+        # (dispatch is async; only host value fetches wait) — end every
+        # timed region in a one-element fetch (bench.py `_sync`).
+        float(jnp.asarray(o).reshape(-1)[0])
+        return o
+
     def run_seq(seed):
         ks = jax.random.split(jax.random.key(seed), n)
         o = None
@@ -96,8 +103,7 @@ def main():
             o = pipe(p, [clean, adv], num_inference_steps=steps,
                      guidance_scale=7.5, strength=0.6, noise=noises[i],
                      key=ks[i], output_type="array")
-        jax.block_until_ready(o)
-        return o
+        return sync(o)
 
     def run_batched(seed, B):
         ks = jax.random.split(jax.random.key(seed), n)
@@ -115,8 +121,7 @@ def main():
             )
             outs.append(o[: hi - i])
         o = jnp.concatenate(outs)
-        jax.block_until_ready(o)
-        return o
+        return sync(o)
 
     def attempt(fn, *args):
         try:

@@ -216,3 +216,26 @@ def test_attn_kv_chunk_builds_equivalent_model(monkeypatch):
     j2 = str(_jax.make_jaxpr(
         lambda p, l: m2.apply_unet(p, l, t, ctx))(m1.params["unet"], lat))
     assert ("scan" in j2) and (j1 != j2)
+
+
+def test_fast_init_uniform_dtype_bf16():
+    """fast_init trees must be UNIFORMLY the requested dtype.  Regression:
+    the on-device generator scaled draws with strong-typed np.float32
+    scalars, promoting bf16 kernels/embeddings to f32 — silently doubling
+    the param footprint (SDXL bf16 would materialize 10.2 GB and OOM the
+    16 GB chip) and diverging from the uniform-dtype trees convert.py
+    produces."""
+    m = build_model("tiny", key=jax.random.key(0), dtype=jnp.bfloat16,
+                    fast_init=True)
+    bad = [
+        "/".join(p)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(m.params)
+        for p in [tuple(getattr(k, "key", getattr(k, "idx", k)) for k in p)]
+        if leaf.dtype != jnp.bfloat16
+    ]
+    assert not bad, f"non-bf16 leaves: {bad[:8]} (+{max(len(bad)-8,0)} more)"
+    # vae_dtype override stays independent
+    m2 = build_model("tiny", key=jax.random.key(0), dtype=jnp.bfloat16,
+                     vae_dtype=jnp.float32, fast_init=True)
+    vae_dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m2.params["vae"])}
+    assert vae_dts == {jnp.dtype(jnp.float32)}

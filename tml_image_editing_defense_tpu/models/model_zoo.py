@@ -228,11 +228,15 @@ def _fast_random_params(shapes_tree, key: jax.Array, dtype) -> dict:
                 g, off = assign[path]
                 n = int(np.prod(shape))
                 draw = jax.lax.slice(pools[g], (off,), (off + n,)).reshape(shape)
+                # weak-typed python-float scales keep the draw's dtype: a
+                # strong-typed np.float32 scalar would promote bf16 draws to
+                # f32, silently doubling the param footprint (SDXL bf16 would
+                # materialize 10.2 GB and OOM the 16 GB chip)
                 if name == "kernel":
                     fan_in = int(np.prod(shape[:-1]))
-                    out[path] = draw * np.float32(1.0 / np.sqrt(max(fan_in, 1)))
+                    out[path] = draw * float(1.0 / np.sqrt(max(fan_in, 1)))
                 else:  # embeddings
-                    out[path] = draw * np.float32(0.02)
+                    out[path] = draw * 0.02
         return traverse_util.unflatten_dict(out)
 
     return jax.jit(gen)(key)

@@ -81,17 +81,21 @@ class MetricsLogger:
             self._wandb.log(payload, step=step)
 
     def log_history(self, history, start_step: int = 0, skip=()):
-        """Backfill one JSONL row per iteration from a PGD loss history.
+        """Backfill one scalar record per iteration from a PGD loss history.
 
         The reference logs avg/rec/pert every iteration (``main.py:105-107``);
         our hot loop only syncs scalars to the host at visualization
         intervals, so the full per-iteration history (held as device arrays,
         fetched once after the loop) is flushed here.  Steps in ``skip`` were
         already written live by the vis callback; rows carry explicit step
-        numbers, so order in the file is not significant.
+        numbers, so order in the file is not significant.  Backfilled rows
+        carry ``backfilled: true`` and NO ``t`` field — their true
+        per-iteration wall-clock was never observed on the host, and a
+        shared flush-time stamp would corrupt t-delta throughput analysis.
+        For the wandb sink, backfilled rows are logged without the
+        monotonic ``step=`` kwarg (wandb drops out-of-order steps); the
+        explicit ``step`` field in the payload carries the iteration.
         """
-        if self._jsonl is None:
-            return
         skip = set(skip)
         for i, entry in enumerate(history):
             step = start_step + i
@@ -106,11 +110,15 @@ class MetricsLogger:
             }
             if not scalars:
                 continue
-            self._jsonl.write(
-                json.dumps({"step": step, "t": time.time() - self._t0,
-                            **scalars}) + "\n"
-            )
-        self._jsonl.flush()
+            if self._jsonl is not None:
+                self._jsonl.write(
+                    json.dumps({"step": step, "backfilled": True, **scalars})
+                    + "\n"
+                )
+            if self._wandb is not None:
+                self._wandb.log({"step": step, **scalars})
+        if self._jsonl is not None:
+            self._jsonl.flush()
 
     def log_image(self, tag: str, image, caption: str = "", step: Optional[int] = None):
         if self._wandb is not None:
