@@ -133,3 +133,16 @@ def test_flops_counting_closed_form():
     assert F.training_flops(10) == 30
     assert F.input_grad_flops(10) == 20   # PGD: input gradient only, no dL/dW
     assert F.mfu(1e12, 1.0) is None or F.mfu(1e12, 1.0) <= 1.0  # CPU → None
+
+
+def test_profiling_sync_forces_completion_and_returns_scalar():
+    """utils.profiling.sync must work on any array (scalar, nd) and return
+    the first element as a python float — it is the only reliable wait
+    primitive on async remote-dispatch backends."""
+    import jax.numpy as jnp
+
+    from tml_image_editing_defense_tpu.utils.profiling import sync
+
+    assert sync(jnp.float32(3.5)) == 3.5
+    assert sync(jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3)) == 0.0
+    assert isinstance(sync(jnp.ones((2, 2))), float)

@@ -500,17 +500,21 @@ def evaluate(
     noises: Optional[jnp.ndarray] = None,
     training_prompts: Optional[Sequence[str]] = None,
     logger: Optional[MetricsLogger] = None,
-    batch_edits: bool = True,
+    batch_edits: Optional[bool] = None,
     eval_batch_size: int = 2,
 ) -> List[Image.Image]:
     """Clean-vs-adversarial edit comparison (Inference.run_inference,
     main.py:431-589): per (prompt × noise) a 5-image grid on the train image,
     then transfer to validation images with 4-image grids.
 
-    ``batch_edits=True`` (default) runs the (prompt × noise) double-edits of
+    ``batch_edits`` runs the (prompt × noise) double-edits of
     an image in vmapped dispatches of ``eval_batch_size`` pairs — identical
     per-cell keys/outputs to the sequential path (the reference runs
-    19 × n_noise sequential pipeline pairs).  ``eval_batch_size`` bounds
+    19 × n_noise sequential pipeline pairs).  Default (``None``) resolves
+    by measured dispatch economics: batched below 1024² (2.6× at 512²
+    LCM-4), sequential at ≥1024² where the pair program loses 28% and B≥2
+    OOMs one v5e at compile (scripts/probe_eval_1024.py; docs/PERF.md
+    "Evaluation at SDXL-native 1024²").  ``eval_batch_size`` bounds
     HBM — each pair is 4 UNet images (2 images × CFG), and fused attention
     transiently materializes f32 score tensors per self-attn layer, so big
     batches OOM one v5e at 512² f32 (all 19 pairs: 20 GB, measured);
@@ -522,6 +526,8 @@ def evaluate(
     collectives), so each dispatch covers ``eval_batch_size × n_shards``
     cells with ``eval_batch_size`` resident per chip."""
     del training_prompts  # accepted for signature parity; unused (main.py:469)
+    if batch_edits is None:
+        batch_edits = cfg.image_size < 1024
     dtype = jnp.dtype(cfg.dtype)
     inference_prompts = list(inference_prompts or INFERENCE_PROMPTS)
     if model is None:

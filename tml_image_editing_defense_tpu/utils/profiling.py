@@ -5,6 +5,10 @@
   TensorBoard-loadable trace of the jitted hot path.
 - :class:`StepTimer` — cheap steady-state step timing with compile-time
   separation (first call is reported separately, not averaged in).
+- :func:`sync` — force completion of the program producing an array.
+  REQUIRED at the end of every timed region on remote-dispatch backends:
+  ``jax.block_until_ready`` does not reliably block on the axon TPU plugin
+  (dispatch is async; only host value fetches wait for execution).
 - :func:`device_memory_stats` — live HBM usage of the attack program.
 """
 
@@ -27,6 +31,25 @@ def trace(log_dir: str = "/tmp/tid_trace", host_tracer_level: int = 2):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def sync(x) -> float:
+    """Wait for the execution producing ``x`` and return its first element.
+
+    An execution materializes all outputs atomically, so fetching one
+    element of one output waits for the whole program — the only wait
+    primitive that is reliable on every backend (``block_until_ready`` is a
+    no-op on async remote-dispatch plugins; measured on the axon TPU
+    tunnel: a 34 s program "blocked" in 0.000 s and the wait moved to the
+    first value fetch).  Use as the last statement of a timed region:
+
+        with StepTimer() as t:       # or a bare time.time() pair
+            _, aux = step(params, x, data, key)
+            sync(aux["avg_loss"])
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).reshape(-1)[0])
 
 
 class StepTimer:
