@@ -17,6 +17,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -43,7 +47,7 @@ def main():
     lat_shape = model.latent_shape
     prompts = [p + ", detailed" for p in INFERENCE_PROMPTS]
     n = len(prompts)
-    keys = jax.random.split(jax.random.key(3), n)
+    keys = jax.random.split(_mkey(3), n)
     pair_noises = jnp.stack([
         jax.random.normal(jax.random.key(100 + i), (2,) + lat_shape[1:], dtype)
         for i in range(n)
@@ -56,7 +60,7 @@ def main():
             # was SLOWER than sequential; B>=8 under fused attention OOMs.
 
     def run_batched(seed):
-        ks = jax.random.split(jax.random.key(seed), n)
+        ks = jax.random.split(_mkey(seed), n)
         outs = []
         for i in range(0, n, B):
             hi = min(i + B, n)
@@ -74,13 +78,13 @@ def main():
 
     t0 = time.time()
     out = run_batched(3)
-    jax.block_until_ready(out)
+    _sync(out)
     log(f"batched compile+first: {time.time() - t0:.1f}s")
     ts = []
     for i in range(2):
         t0 = time.time()
         out = run_batched(10 + i)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.time() - t0)
     batched_s = min(ts)
     log(f"batched {n}-prompt eval: {batched_s:.2f}s ({batched_s / n:.3f} s/pair)")
@@ -89,13 +93,13 @@ def main():
     o = pipe(prompts[0], [clean, adv], num_inference_steps=50,
              guidance_scale=7.5, strength=0.6, noise=pair_noises[0],
              key=keys[0], output_type="array")
-    jax.block_until_ready(o)
+    _sync(o)
     t0 = time.time()
     for i, p in enumerate(prompts):
         o = pipe(p, [clean, adv], num_inference_steps=50, guidance_scale=7.5,
                  strength=0.6, noise=pair_noises[i], key=keys[i],
                  output_type="array")
-    jax.block_until_ready(o)
+    _sync(o)
     seq_s = time.time() - t0
     log(f"sequential {n}-prompt eval: {seq_s:.2f}s")
 
@@ -104,7 +108,7 @@ def main():
     lcm_pipe = Img2ImgPipeline(model, sampler="lcm", dtype=dtype)
 
     def run_lcm_batched(seed):
-        ks = jax.random.split(jax.random.key(seed), n)
+        ks = jax.random.split(_mkey(seed), n)
         outs = []
         for i in range(0, n, B):
             hi = min(i + B, n)
@@ -121,21 +125,21 @@ def main():
         return jnp.concatenate(outs)
 
     out = run_lcm_batched(3)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     out = run_lcm_batched(11)
-    jax.block_until_ready(out)
+    _sync(out)
     lcm_b = time.time() - t0
     o = lcm_pipe(prompts[0], [clean, adv], num_inference_steps=4,
                  guidance_scale=3.0, strength=0.6, noise=pair_noises[0],
                  key=keys[0], output_type="array")
-    jax.block_until_ready(o)
+    _sync(o)
     t0 = time.time()
     for i, p in enumerate(prompts):
         o = lcm_pipe(p, [clean, adv], num_inference_steps=4, guidance_scale=3.0,
                      strength=0.6, noise=pair_noises[i], key=keys[i],
                      output_type="array")
-    jax.block_until_ready(o)
+    _sync(o)
     lcm_s = time.time() - t0
     log(f"LCM-4: batched {lcm_b:.2f}s, sequential {lcm_s:.2f}s")
 

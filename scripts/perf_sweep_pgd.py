@@ -23,6 +23,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -72,20 +76,20 @@ def main():
                 step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
                 t0 = time.time()
                 compiled = step.lower(model.params, src, data,
-                                      jax.random.key(3)).compile()
+                                      _mkey(3)).compile()
                 try:
                     ma = compiled.memory_analysis()
                     temp_gb = round(ma.temp_size_in_bytes / 2**30, 2)
                 except Exception:
                     temp_gb = None
-                x, aux = step(model.params, src, data, jax.random.key(3))
-                jax.block_until_ready(x)
+                x, aux = step(model.params, src, data, _mkey(3))
+                _sync(x)
                 compile_s = time.time() - t0
                 ts = []
                 for i in range(3):
                     t0 = time.time()
-                    x, aux = step(model.params, x, data, jax.random.key(50 + i))
-                    jax.block_until_ready(x)
+                    x, aux = step(model.params, x, data, _mkey(50 + i))
+                    _sync(x)
                     ts.append(time.time() - t0)
                 mem = device_memory_stats(dev)
                 rec = dict(policy=policy, eot_chunk=chunk,

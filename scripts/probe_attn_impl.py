@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 
 def log(msg):
@@ -63,15 +67,15 @@ def measure(impl: str, n_meas: int) -> float:
     data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
     t0 = time.time()
-    x, aux = step(model.params, src, data, jax.random.key(3))
-    jax.block_until_ready(x)
+    x, aux = step(model.params, src, data, _mkey(3))
+    _sync(x)
     log(f"[{impl}] compile+first-run {time.time() - t0:.1f}s "
         f"(loss {float(aux['avg_loss']):.1f})")
     ts = []
     for i in range(n_meas):
         t0 = time.time()
-        x, aux = step(model.params, x, data, jax.random.key(100 + i))
-        jax.block_until_ready(x)
+        x, aux = step(model.params, x, data, _mkey(100 + i))
+        _sync(x)
         ts.append(time.time() - t0)
     log(f"[{impl}] steps: {['%.3f' % t for t in ts]}")
     # free HBM for the next impl's build

@@ -28,6 +28,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 
 def log(msg):
@@ -66,8 +70,8 @@ def main():
             srcB = jnp.broadcast_to(src1, (batch, size, size, 3))
             target_latent = model.encode_image(model.params["vae"], srcB)
             t0 = time.time()
-            x_adv, _ = loop(model.params, srcB, target_latent, jax.random.key(2))
-            jax.block_until_ready(x_adv)
+            x_adv, _ = loop(model.params, srcB, target_latent, _mkey(2))
+            _sync(x_adv)
             compile_s = time.time() - t0
             times = []
             for i in range(3):
@@ -75,8 +79,8 @@ def main():
                 # vary the key per call — the axon runtime caches executions
                 # with bit-identical arguments
                 x_adv, _ = loop(model.params, srcB, target_latent,
-                                jax.random.key(100 + i))
-                jax.block_until_ready(x_adv)
+                                _mkey(100 + i))
+                _sync(x_adv)
                 times.append(time.time() - t0)
             per_img = min(times) / batch
             emit(batch=batch, s_per_image=round(per_img, 4),

@@ -124,13 +124,15 @@ def main():
         return sync(o)
 
     def attempt(fn, *args):
+        from tml_image_editing_defense_tpu.utils.profiling import measure_seed
+
         try:
             t0 = time.time()
-            o = fn(7, *args)
+            o = fn(measure_seed(7), *args)
             compile_s = time.time() - t0
             finite = bool(jnp.isfinite(o).all())
             t0 = time.time()
-            o = fn(11, *args)
+            o = fn(measure_seed(11), *args)
             run_s = time.time() - t0
             return {"compile_s": round(compile_s, 1), "s": round(run_s, 2),
                     "s_per_pair": round(run_s / n, 3), "finite": finite}

@@ -31,6 +31,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 
 def log(msg):
@@ -57,15 +61,15 @@ def run_variant(name, dtype, vae_dtype, n_steps=50, n_meas=3):
                               jnp.float32)
     out = pipe("a fairytale castle, detailed", clean, num_inference_steps=n_steps,
                guidance_scale=7.5, strength=0.6, noise=noise,
-               key=jax.random.key(3), output_type="array")
-    jax.block_until_ready(out)
+               key=_mkey(3), output_type="array")
+    _sync(out)
     ts = []
     for i in range(n_meas):
         t0 = time.time()
         o = pipe("a fairytale castle, detailed", clean,
                  num_inference_steps=n_steps, guidance_scale=7.5, strength=0.6,
-                 noise=noise, key=jax.random.key(3 + i), output_type="array")
-        jax.block_until_ready(o)
+                 noise=noise, key=_mkey(3 + i), output_type="array")
+        _sync(o)
         ts.append(time.time() - t0)
     arr = np.asarray(jax.device_get(out), np.float32)
     log(f"[{name}] {min(ts):.3f} s/edit; finite={np.isfinite(arr).all()}")

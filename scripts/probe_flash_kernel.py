@@ -21,6 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
 
 
 def log(msg):
@@ -84,7 +87,7 @@ def main():
         try:
             t0 = time.time()
             o = run(q, kvs)
-            jax.block_until_ready(o)
+            _sync(o)
             log(f"[{impl}] compile+first {time.time()-t0:.1f}s")
             times = []
             for rep in range(3):
@@ -94,10 +97,10 @@ def main():
                 # median, not min, so stray cache hits can't win
                 kvs2 = jax.random.normal(
                     jax.random.fold_in(k2, rep + 1), kvs.shape, kvs.dtype)
-                jax.block_until_ready(kvs2)
+                _sync(kvs2)
                 t0 = time.time()
                 o = run(q, kvs2)
-                jax.block_until_ready(o)
+                _sync(o)
                 times.append(time.time() - t0)
             per = sorted(times)[1] / args.iters * 1e3
             results[impl] = round(per, 3)

@@ -26,6 +26,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -96,8 +100,8 @@ def main():
 
     jstep = jax.jit(step)
     t0 = time.time()
-    x, loss = jstep(model.params, src, data, jax.random.key(3))
-    jax.block_until_ready(x)
+    x, loss = jstep(model.params, src, data, _mkey(3))
+    _sync(x)
     compile_s = time.time() - t0
     log(f"inpaint PGD step compile+first-run {compile_s:.1f}s "
         f"(loss {float(loss):.1f})")
@@ -105,8 +109,8 @@ def main():
     ts = []
     for i in range(3):
         t0 = time.time()
-        x, loss = jstep(model.params, x, data, jax.random.key(100 + i))
-        jax.block_until_ready(x)
+        x, loss = jstep(model.params, x, data, _mkey(100 + i))
+        _sync(x)
         ts.append(time.time() - t0)
     s_per_step = min(ts)
     log(f"inpaint attack: {s_per_step:.3f} s/PGD-step "

@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from bench import free_all_device_memory  # the one HBM-reclaim impl (bench.py)
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -67,14 +71,14 @@ def main():
             data = make_attack_data(xl, cfg, src, jnp.zeros_like(src), bank, pool)
             step = jax.jit(make_pgd_step(xl, sampler, plan, cfg))
             t0 = time.time()
-            x, aux = step(params, src, data, jax.random.key(4))
-            jax.block_until_ready(x)
+            x, aux = step(params, src, data, _mkey(4))
+            _sync(x)
             compile_s = time.time() - t0
             ts = []
             for i in range(3):
                 t0 = time.time()
-                x, aux = step(params, x, data, jax.random.key(100 + i))
-                jax.block_until_ready(x)
+                x, aux = step(params, x, data, _mkey(100 + i))
+                _sync(x)
                 ts.append(time.time() - t0)
             print(json.dumps({"probe": f"sdxl_512_pgd_attn_{s}",
                               "s_per_step": round(min(ts), 4),

@@ -23,6 +23,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -68,16 +72,16 @@ def main():
         t0 = time.time()
         out = pipe("a photo of a lake, detailed", src, num_inference_steps=4,
                    guidance_scale=3.0, strength=0.6, output_type="array",
-                   key=jax.random.key(2))
-        jax.block_until_ready(out)
+                   key=_mkey(2))
+        _sync(out)
         log(f"eval edit compile+run {time.time() - t0:.1f}s")
         ts = []
         for i in range(3):
             t0 = time.time()
             out = pipe("a photo of a lake, detailed", src, num_inference_steps=4,
                        guidance_scale=3.0, strength=0.6, output_type="array",
-                       key=jax.random.key(10 + i))
-            jax.block_until_ready(out)
+                       key=_mkey(10 + i))
+            _sync(out)
             ts.append(time.time() - t0)
         mem = device_memory_stats(dev)
         emit(probe="sdxl_1024_eval_edit_lcm4", s_per_edit=round(min(ts), 3),
@@ -140,7 +144,7 @@ def main():
             t0 = time.time()
             # AOT compile so XLA's own memory analysis is available (the
             # axon runtime does not expose device memory_stats)
-            compiled = step.lower(params, src, data, jax.random.key(4)).compile()
+            compiled = step.lower(params, src, data, _mkey(4)).compile()
             mem_an = {}
             try:
                 ma = compiled.memory_analysis()
@@ -151,16 +155,16 @@ def main():
                 }
             except Exception:
                 pass
-            x1, aux = step(params, src, data, jax.random.key(4))
-            jax.block_until_ready(x1)
+            x1, aux = step(params, src, data, _mkey(4))
+            _sync(x1)
             compile_s = time.time() - t0
             log(f"[{name}] compile+first {compile_s:.1f}s "
                 f"(loss {float(aux['avg_loss']):.1f})")
             ts, x = [], x1
             for i in range(2):
                 t0 = time.time()
-                x, aux = step(params, x, data, jax.random.key(100 + i))
-                jax.block_until_ready(x)
+                x, aux = step(params, x, data, _mkey(100 + i))
+                _sync(x)
                 ts.append(time.time() - t0)
             mem = device_memory_stats(dev)
             emit(probe=f"sdxl_1024_pgd_step_{name}",

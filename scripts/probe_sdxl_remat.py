@@ -21,6 +21,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -76,7 +80,7 @@ def main():
             data = make_attack_data(xl, cfg, src, jnp.zeros_like(src), bank, pool)
             step = jax.jit(make_pgd_step(xl, sampler, plan, cfg))
             t0 = time.time()
-            compiled = step.lower(params, src, data, jax.random.key(4)).compile()
+            compiled = step.lower(params, src, data, _mkey(4)).compile()
             mem_an = {}
             try:
                 ma = compiled.memory_analysis()
@@ -86,16 +90,16 @@ def main():
                 }
             except Exception:
                 pass
-            x1, aux = step(params, src, data, jax.random.key(4))
-            jax.block_until_ready(x1)
+            x1, aux = step(params, src, data, _mkey(4))
+            _sync(x1)
             compile_s = time.time() - t0
             log(f"[{policy}] compile+first {compile_s:.1f}s "
                 f"(loss {float(aux['avg_loss']):.1f}) {mem_an}")
             ts, x = [], x1
             for i in range(2):
                 t0 = time.time()
-                x, aux = step(params, x, data, jax.random.key(100 + i))
-                jax.block_until_ready(x)
+                x, aux = step(params, x, data, _mkey(100 + i))
+                _sync(x)
                 ts.append(time.time() - t0)
             emit(probe=f"sdxl_1024_pgd_latent_remat_{policy}",
                  s_per_step=round(min(ts), 3), attn_kv_chunk=chunk or "auto",

@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -71,15 +75,15 @@ def main():
             params = dict(params, preview_vae=pv.params)
         step = jax.jit(make_universal_step(model, cfg, bank, preview=pv))
         t0 = time.time()
-        pert, loss = step(params, pert0, source, jax.random.key(2))
-        jax.block_until_ready(pert)
+        pert, loss = step(params, pert0, source, _mkey(2))
+        _sync(pert)
         compile_s = time.time() - t0
         times = []
         for i in range(5):
-            k = jax.random.key(3 + i)      # vary the key: axon caches
+            k = _mkey(3 + i)               # salted: axon caches across runs too
             t0 = time.time()
             pert, loss = step(params, pert0, source, k)
-            jax.block_until_ready(pert)
+            _sync(pert)
             times.append(time.time() - t0)
         emit(variant=name, step_s=round(min(times), 4),
              median_s=round(sorted(times)[len(times) // 2], 4),

@@ -24,6 +24,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
+# reliable completion-wait: block_until_ready is a no-op on the async
+# axon plugin; only host value fetches wait (docs/PERF.md measurement gotchas)
+from tml_image_editing_defense_tpu.utils.profiling import sync as _sync
+from tml_image_editing_defense_tpu.utils.profiling import measure_key as _mkey
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -67,17 +71,17 @@ def main():
     pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
     data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
     step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
-    x, _ = step(model.params, src, data, jax.random.key(3))
-    jax.block_until_ready(x)
+    x, _ = step(model.params, src, data, _mkey(3))
+    _sync(x)
     t0 = time.time()
-    x, _ = step(model.params, x, data, jax.random.key(4))
-    jax.block_until_ready(x)
+    x, _ = step(model.params, x, data, _mkey(4))
+    _sync(x)
     log(f"steady-state step {time.time() - t0:.3f}s; tracing 2 steps…")
 
     jax.profiler.start_trace(args.trace_dir)
     for i in range(2):
-        x, _ = step(model.params, x, data, jax.random.key(10 + i))
-    jax.block_until_ready(x)
+        x, _ = step(model.params, x, data, _mkey(10 + i))
+    _sync(x)
     jax.profiler.stop_trace()
 
     traces = sorted(glob.glob(args.trace_dir + "/plugins/profile/*/*.trace.json.gz"))
