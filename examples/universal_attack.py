@@ -43,6 +43,11 @@ def main(argv=None):
                          "but never stepped (old/train_noise.py:96); default "
                          "is the normalized-gradient rule it actually used")
     ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--remat-policy", type=str, default="none",
+                    choices=["none", "full", "dots", "conv_dots"],
+                    help="rematerialize the per-rep gradient body; 'full' is "
+                         "required to fit the reference's native SDXL@1024² "
+                         "config (old/train_noise.py:94) in 16 GB HBM")
     ap.add_argument("--default-prompt", type=str, default="")
     ap.add_argument("--edit-prompts", type=str, nargs="*", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -88,7 +93,8 @@ def main(argv=None):
                   grad_reps=args.grad_reps, epochs=args.epochs,
                   max_steps=args.max_steps, image_size=size,
                   default_prompt=args.default_prompt,
-                  optimizer=args.optimizer, lr=args.lr)
+                  optimizer=args.optimizer, lr=args.lr,
+                  remat_policy=args.remat_policy)
     if args.edit_prompts:
         cfg_kw["edit_prompts"] = tuple(args.edit_prompts)
     cfg = UniversalConfig(**cfg_kw)

@@ -48,17 +48,27 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     dtype = jnp.bfloat16
-    # PROBE_FAMILY=tiny PROBE_SIZE=32 JAX_PLATFORMS=cpu → CPU smoke run
+    # PROBE_FAMILY=tiny PROBE_SIZE=32 JAX_PLATFORMS=cpu → CPU smoke run.
+    # The reference's native universal config (old/train_noise.py:20-48,94)
+    # is PROBE_FAMILY=sdxl PROBE_SIZE=1024 PROBE_REPS=10 PROBE_REMAT=full.
     family = os.environ.get("PROBE_FAMILY", "sd15")
     size = int(os.environ.get("PROBE_SIZE", "512"))
+    reps = int(os.environ.get("PROBE_REPS", "4"))
+    remat = os.environ.get("PROBE_REMAT", "none")
     preset = "tiny" if family.startswith("tiny") else "taesd"
 
     model = build_model(family, key=jax.random.key(0), dtype=dtype,
                         image_size=size, fast_init=True,
                         attn_kv_chunk=512 if size >= 512 else None)
-    cfg = UniversalConfig(grad_reps=4, image_size=size)
+    cfg = UniversalConfig(grad_reps=reps, image_size=size,
+                          remat_policy=remat)
     bank = model.embed_prompt_bank(
         [(cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts])
+    # The text encoders only feed the (precomputed) prompt bank — drop their
+    # ~1.6 GB (SDXL) of params from HBM before the big step programs; at
+    # 1024² the margin decides between fitting and ResourceExhausted
+    # (same hygiene as scripts/probe_sdxl_1024.py).
+    model.params.pop("text", None)
 
     rng = np.random.default_rng(0)
     source = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)), dtype)
@@ -69,15 +79,30 @@ def main():
                                      dtype=dtype, image_size=size)
     variants["taesd_preview"] = preview
 
+    # PROBE_VARIANTS=taesd_preview → measure only the reference's own config
+    # (at SDXL@1024² the full-VAE fallback needs 16.93 GB — a compile-time
+    # HBM OOM on the 16 GB chip, recorded as an error line, docs/PERF.md)
+    only = os.environ.get("PROBE_VARIANTS")
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only.split(",")}
+
     for name, pv in variants.items():
         params = model.params
         if pv is not None:
             params = dict(params, preview_vae=pv.params)
         step = jax.jit(make_universal_step(model, cfg, bank, preview=pv))
-        t0 = time.time()
-        pert, loss = step(params, pert0, source, _mkey(2))
-        _sync(pert)
-        compile_s = time.time() - t0
+        try:
+            t0 = time.time()
+            pert, loss = step(params, pert0, source, _mkey(2))
+            _sync(pert)
+            compile_s = time.time() - t0
+        except Exception as e:
+            # one variant's OOM must not lose the others' measurements
+            emit(variant=name, family=family, size=size, reps=reps,
+                 remat=remat, error=f"{type(e).__name__}: {str(e)[:400]}")
+            log(f"{name}: FAILED {type(e).__name__} (full error to stderr)")
+            log(str(e))
+            continue
         times = []
         for i in range(5):
             k = _mkey(3 + i)               # salted: axon caches across runs too
@@ -85,7 +110,8 @@ def main():
             pert, loss = step(params, pert0, source, k)
             _sync(pert)
             times.append(time.time() - t0)
-        emit(variant=name, step_s=round(min(times), 4),
+        emit(variant=name, family=family, size=size, reps=reps, remat=remat,
+             step_s=round(min(times), 4),
              median_s=round(sorted(times)[len(times) // 2], 4),
              compile_s=round(compile_s, 1), loss=float(loss))
         log(f"{name}: min {min(times):.3f}s median {sorted(times)[2]:.3f}s")

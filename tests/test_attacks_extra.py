@@ -104,6 +104,28 @@ def test_universal_perturbation(tiny):
     assert np.abs(np.asarray(pert)).max() > 1e-5
 
 
+def test_universal_remat_matches_none(tiny):
+    """``UniversalConfig.remat_policy`` must be a pure memory/time trade:
+    the remat'd gradient body computes the same update as plain autodiff
+    (needed to trust the 1024² SDXL fit strategy, which requires "full")."""
+    from tml_image_editing_defense_tpu.attack.universal import make_universal_step
+
+    src = jnp.clip(
+        jax.random.normal(jax.random.key(21), (1, 32, 32, 3)) * 0.3, -1, 1
+    )
+    pert0 = jnp.zeros_like(src)
+    perts = {}
+    for policy in ("none", "full"):
+        cfg = UniversalConfig(grad_reps=2, image_size=32,
+                              edit_prompts=("a photo",), remat_policy=policy)
+        bank = tiny.embed_prompt_bank(["a photo"])
+        step = jax.jit(make_universal_step(tiny, cfg, bank))
+        pert, loss = step(tiny.params, pert0, src, jax.random.key(22))
+        assert np.isfinite(float(loss))
+        perts[policy] = np.asarray(pert)
+    np.testing.assert_allclose(perts["full"], perts["none"], atol=1e-6)
+
+
 def test_dataset(tmp_path):
     from tml_image_editing_defense_tpu.data import ImagePromptDataset
 

@@ -230,6 +230,7 @@ def test_universal_attack_example_entrypoint(tmp_path):
     universal_attack.main([
         "--family", "tiny", "--dataset-dir", str(ds), "--steps", "1",
         "--grad-reps", "1", "--output", str(out), "--vis-every", "1",
+        "--remat-policy", "full",     # the 1024²-fit knob, plumbed through
     ])
     pert = np.load(out / "perturbation.npy")
     assert pert.shape == (1, 32, 32, 3)

@@ -5,7 +5,7 @@ mirrors) proves each part; this module proves the *composition*: the torch
 mirrors are assembled into the reference's literal loops and the end-to-end
 outputs must match ours at f32 tolerance.
 
-Three compositions, each a line-by-line transcription of the reference:
+Four compositions, each a line-by-line transcription of the reference:
 
 1. ``Trainer.attack_forward`` (``/root/reference/main.py:179-246``): prompt
    CFG stack → ``vae.encode(image).latent_dist.sample() * 0.18215`` (:191)
@@ -13,6 +13,9 @@ Three compositions, each a line-by-line transcription of the reference:
    ``add_noise(latents, noise, timesteps[:1])`` (:211-216) → K-step
    cat×2/scale/unet/chunk/CFG/scheduler.step loop (:229-243) →
    ``latents / 0.18215`` (:245) — vs ``attack/forward.py::attack_forward``.
+1b. The SDXL branch of the same chain: ``added_cond_kwargs`` micro-
+   conditioning — CFG-stacked pooled embeds + [orig, crop, target] time-ids
+   (:202-208, 362-408) — through every UNet call of the loop.
 2. A FULL PGD iteration — ``compute_grad`` (:144-177: decode, L2-norm rec
    loss, MSE perturbation loss, ``torch.autograd.grad`` to the input image)
    inside the ``grad_reps`` EOT loop (:88-102: grad = stack(grads).mean(0))
@@ -105,10 +108,15 @@ def torch_encode_sample(sd_vae, image_t, eps_t, scaling):
 def torch_lcm_attack_forward(
     sd_unet, sd_vae, acp, image_t, ctx_t, timesteps, sel_noise_t,
     step_noises_t, eps_vae_t, guidance_scale, scaling,
+    unet_cfg=TINY_UNET, text_embeds_t=None, time_ids_t=None,
 ):
     """Literal ``Trainer.attack_forward`` (main.py:179-246) over the torch
     mirrors with LCMScheduler semantics (diffusers: timestep_scaling=10,
-    sigma_data=0.5; per-step noise injection except at the final step)."""
+    sigma_data=0.5; per-step noise injection except at the final step).
+
+    ``text_embeds_t``/``time_ids_t``: the SDXL branch's ``added_cond_kwargs``
+    (main.py:202-208, built by ``get_sdxl_additional_inputs`` :362-408) —
+    CFG-stacked [neg; pos] like the prompt context."""
     latents = torch_encode_sample(sd_vae, image_t, eps_vae_t, scaling)
     # add_noise(image_latents, selected_noise, timesteps_tensor[:1])  :216
     a0 = float(acp[int(timesteps[0])])
@@ -116,8 +124,9 @@ def torch_lcm_attack_forward(
     for i, t in enumerate(timesteps):                      # :229-243
         latent_in = torch.cat([latents] * 2)               # :230
         # LCMScheduler.scale_model_input is identity
-        pred = torch_unet(sd_unet, TINY_UNET, latent_in, torch.tensor(int(t)),
-                          ctx_t)
+        pred = torch_unet(sd_unet, unet_cfg, latent_in, torch.tensor(int(t)),
+                          ctx_t, text_embeds=text_embeds_t,
+                          time_ids=time_ids_t)
         uncond, text = pred.chunk(2)                        # :239-240
         eps = uncond + guidance_scale * (text - uncond)
         # LCMScheduler.step
@@ -184,6 +193,48 @@ def test_attack_forward_matches_reference_composition(model, sds, acp):
         sd_unet, sd_vae, acp, _nchw(image), torch.from_numpy(np.asarray(ctx)),
         ts, _nchw(noise), [_nchw(sn) for sn in step_noises], _nchw(eps_vae),
         GS, float(model.vae_scaling),
+    )
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sdxl_attack_forward_matches_reference_composition():
+    """The SDXL branch of ``attack_forward``: the same chain plus the
+    ``added_cond_kwargs`` micro-conditioning — CFG-stacked pooled embeds and
+    the [orig, crop, target] time-ids (main.py:202-208, 362-408) threaded
+    through every UNet call of the loop (:229-243)."""
+    from tml_image_editing_defense_tpu.attack.forward import make_time_ids
+    from tml_image_editing_defense_tpu.models.unet import TINY_SDXL_UNET
+
+    xl = build_model("tiny-sdxl", key=jax.random.key(1), image_size=SIZE)
+    sd_unet = export_state_dict(xl.params["unet"], "unet")
+    sd_vae = export_state_dict(xl.params["vae"], "vae")
+    acp = np.asarray(xl.schedule.alphas_cumprod, np.float32)
+    sampler = LCMSampler(xl.schedule)
+    plan = sampler.plan(4, limit_t=700)
+    ts = lcm_timesteps(acp)
+    np.testing.assert_array_equal(np.asarray(plan.t_eval), ts)
+
+    image = jnp.clip(_rand(40, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    ctx = _rand(41, (2, 7, TINY_SDXL_UNET.cross_attention_dim))
+    pooled = _rand(42, (2, 32))                 # [uncond; cond], main.py:205
+    time_ids = make_time_ids(SIZE, jnp.float32)  # [neg; pos], main.py:362-383
+    noise = _rand(43, LAT)
+    key = jax.random.key(64)
+
+    ours = attack_forward(
+        xl, sampler, plan, xl.params, image,
+        CondInputs(ctx=ctx, text_embeds=pooled, time_ids=time_ids),
+        noise, GS, key, remat_policy="none",
+    )
+
+    eps_vae, step_noises = replay_chain_keys(key, len(ts), LAT)
+    theirs = torch_lcm_attack_forward(
+        sd_unet, sd_vae, acp, _nchw(image), torch.from_numpy(np.asarray(ctx)),
+        ts, _nchw(noise), [_nchw(sn) for sn in step_noises], _nchw(eps_vae),
+        GS, float(xl.vae_scaling), unet_cfg=TINY_SDXL_UNET,
+        text_embeds_t=torch.from_numpy(np.asarray(pooled)),
+        time_ids_t=torch.from_numpy(np.asarray(time_ids)),
     )
     np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
                                rtol=2e-4, atol=2e-4)

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tml_image_editing_defense_tpu.attack.forward import CondInputs, make_time_ids, select_cond
+from tml_image_editing_defense_tpu.attack.forward import (
+    CondInputs,
+    apply_remat,
+    make_time_ids,
+    select_cond,
+)
 from tml_image_editing_defense_tpu.attack.losses import lp_distance
 from tml_image_editing_defense_tpu.models.model_zoo import DiffusionModel, PromptBank
 from tml_image_editing_defense_tpu.models.tiny_vae import TinyAutoencoder
@@ -60,6 +65,12 @@ class UniversalConfig:
     #: projections (``:180-185``).
     optimizer: Optional[str] = None
     lr: float = 1e-2
+    #: rematerialization for the per-rep gradient body (same policy names as
+    #: ``TrainConfig.remat_policy``, attack/forward.py ``_REMAT_POLICIES``).
+    #: "none" is fastest and fits SD-1.5 @512²; the reference's native
+    #: universal config — SDXL at 1024² (``old/train_noise.py:94``) — needs
+    #: "full" on a 16 GB chip (the reference sidesteps this on an A100-80GB).
+    remat_policy: str = "none"
 
 
 def lcm_denoise_single_step(
@@ -109,10 +120,26 @@ def make_universal_step(
     higher fidelity/cost).
     """
 
+    # Stage-wise remat: checkpoint encode / denoise / decode SEPARATELY so
+    # the backward's peak residency is max(stage), not sum(stages).  One
+    # checkpoint around the whole rep body measured 16.93 GB at the
+    # reference's native SDXL@1024² config (compile-time HBM OOM on the
+    # 16 GB chip — the VAE decode transpose held next to the encode/UNet
+    # residuals); partitioning is the same fit strategy attack/pgd.py uses
+    # (per-step chain remat + a separate ``remat_vae`` checkpoint).
+    if cfg.remat_policy == "none":
+        def wrap(f):
+            return f
+    else:
+        def wrap(f):
+            return apply_remat(f, cfg.remat_policy)
+
     def rep_loss(pert, params, source, key):
         k_enc, k_noise, k_t, k_p = jax.random.split(key, 4)
         perturbed = source + pert
-        z = model.encode_image(params["vae"], perturbed, key=k_enc)
+        z = wrap(
+            lambda img: model.encode_image(params["vae"], img, key=k_enc)
+        )(perturbed)
         noise = jax.random.normal(k_noise, z.shape, z.dtype)
         t = jax.random.randint(k_t, (), cfg.timestep_range[0], cfg.timestep_range[1])
         noisy = model.schedule.add_noise(z, noise, t)
@@ -122,16 +149,19 @@ def make_universal_step(
             time_ids = make_time_ids(cfg.image_size, source.dtype)
         cond = select_cond(bank.embeds, bank.uncond, pidx, bank.pooled,
                            bank.uncond_pooled, time_ids)
-        out_latents = lcm_denoise_single_step(
-            model, params, noisy, t, cond, cfg.guidance_scale
-        )
+        out_latents = wrap(
+            lambda nz: lcm_denoise_single_step(
+                model, params, nz, t, cond, cfg.guidance_scale
+            )
+        )(noisy)
         if preview is not None:
             # TAESD consumes the UNet's *scaled* latents directly
             # (scaling_factor 1.0; the reference's divide at
             # old/train_noise.py:151 is a no-op)
-            out_image = preview.decode(params["preview_vae"], out_latents)
+            decode = lambda zl: preview.decode(params["preview_vae"], zl)  # noqa: E731
         else:
-            out_image = model.decode_latent(params["vae"], out_latents, scaled=True)
+            decode = lambda zl: model.decode_latent(params["vae"], zl, scaled=True)  # noqa: E731
+        out_image = wrap(decode)(out_latents)
         loss = jnp.zeros((), out_image.dtype)
         if cfg.l2_image_coeff:
             loss = loss + cfg.l2_image_coeff * lp_distance(out_image, source, 2)
