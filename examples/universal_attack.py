@@ -43,6 +43,10 @@ def main(argv=None):
                          "but never stepped (old/train_noise.py:96); default "
                          "is the normalized-gradient rule it actually used")
     ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--eot-shards", type=int, default=1,
+                    help="shard the grad_reps EOT samples over this many "
+                         "devices (mesh reps axis, parallel/eot.py); must "
+                         "divide --grad-reps")
     ap.add_argument("--remat-policy", type=str, default="none",
                     choices=["none", "full", "dots", "conv_dots"],
                     help="rematerialize the per-rep gradient body; 'full' is "
@@ -136,11 +140,21 @@ def main(argv=None):
         PILImage.fromarray(collage).save(
             args.output / f"validation_{step:05d}.png")
 
+    mesh = None
+    if args.eot_shards > 1:
+        from tml_image_editing_defense_tpu.parallel.mesh import (
+            REPS_AXIS,
+            make_mesh,
+        )
+
+        mesh = make_mesh({REPS_AXIS: args.eot_shards})
+
     pert, losses = train_universal_perturbation(
         model, images, cfg, jax.random.key(args.seed + 2),
         log_fn=log_fn, preview=preview,
         vis_every=args.vis_every,
-        vis_fn=vis_fn if args.vis_every else None)
+        vis_fn=vis_fn if args.vis_every else None,
+        mesh=mesh)
 
     args.output.mkdir(parents=True, exist_ok=True)
     np.save(args.output / "perturbation.npy", np.asarray(pert))

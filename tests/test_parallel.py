@@ -150,3 +150,48 @@ def test_batched_step_is_actually_sharded(setup):
     x1, _ = bstep(model.params, x0, batched, keys)
     shards = x1.sharding.device_set
     assert len(shards) == 8          # output lives on all 8 devices
+
+
+def test_sharded_universal_matches_single_device(setup):
+    """Universal-trainer EOT reps sharded over the mesh must reproduce the
+    serial step (reference loop old/train_noise.py:130-166; sharding =
+    parallel/eot.py::make_sharded_universal_step): same global rep-key
+    stream block-sharded, pmean'd mean gradient, same update/projections."""
+    from tml_image_editing_defense_tpu.attack.universal import (
+        UniversalConfig,
+        make_universal_step,
+        train_universal_perturbation,
+    )
+    from tml_image_editing_defense_tpu.parallel.eot import (
+        make_sharded_universal_step,
+    )
+
+    model, *_ = setup
+    ucfg = UniversalConfig(grad_reps=4, image_size=32,
+                           edit_prompts=("a photo", "a sketch"))
+    bank = model.embed_prompt_bank(list(ucfg.edit_prompts))
+    src = jnp.clip(
+        jax.random.normal(jax.random.key(31), (1, 32, 32, 3)) * 0.3, -1, 1
+    )
+    pert0 = jnp.zeros_like(src)
+    key = jax.random.key(33)
+    mesh = make_mesh({REPS_AXIS: 4})
+    sh_step = jax.jit(make_sharded_universal_step(model, ucfg, bank, mesh))
+    ref_step = jax.jit(make_universal_step(model, ucfg, bank))
+    with jax.sharding.set_mesh(mesh):
+        p_sh, l_sh = sh_step(model.params, pert0, src, key)
+    p_ref, l_ref = ref_step(model.params, pert0, src, key)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+
+    # the product loop routes through the same step when given a mesh
+    imgs = [np.asarray(src)]
+    ucfg2 = dataclasses.replace(ucfg, max_steps=2)
+    pert_m, losses_m = train_universal_perturbation(
+        model, imgs, ucfg2, jax.random.key(40), mesh=mesh)
+    pert_s, losses_s = train_universal_perturbation(
+        model, imgs, ucfg2, jax.random.key(40))
+    np.testing.assert_allclose(np.asarray(pert_m), np.asarray(pert_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(losses_m, losses_s, rtol=1e-5)

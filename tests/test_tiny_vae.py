@@ -229,8 +229,9 @@ def test_universal_attack_example_entrypoint(tmp_path):
     out = tmp_path / "out"
     universal_attack.main([
         "--family", "tiny", "--dataset-dir", str(ds), "--steps", "1",
-        "--grad-reps", "1", "--output", str(out), "--vis-every", "1",
+        "--grad-reps", "2", "--output", str(out), "--vis-every", "1",
         "--remat-policy", "full",     # the 1024²-fit knob, plumbed through
+        "--eot-shards", "2",          # reps-axis sharding, plumbed through
     ])
     pert = np.load(out / "perturbation.npy")
     assert pert.shape == (1, 32, 32, 3)

@@ -102,23 +102,15 @@ def lcm_denoise_single_step(
     return c_out * x0 + c_skip * noisy_latents    # single step ⇒ denoised output
 
 
-def make_universal_step(
+def _universal_rep_loss(
     model: DiffusionModel,
     cfg: UniversalConfig,
     bank: PromptBank,
     preview: Optional[TinyAutoencoder] = None,
 ):
-    """One optimization step over one source image:
-    ``step(params, pert, source[1,H,W,3], key) -> (pert', avg_loss)``.
-
-    ``preview``: a :class:`TinyAutoencoder` whose params live at
-    ``params["preview_vae"]``.  When given, the loss-side decode runs through
-    the tiny decoder exactly as the reference does (``old/train_noise.py:82``
-    builds taesdxl, ``:151`` decodes the edited latents with it inside the
-    gradient path) — ~40× cheaper than the full VAE decoder, per EOT rep.
-    Without it we fall back to the full VAE decode (same loss semantics,
-    higher fidelity/cost).
-    """
+    """Per-rep loss closure ``rep_loss(pert, params, source, key) -> loss``
+    shared by the serial step below and the reps-sharded step
+    (``parallel/eot.py::make_sharded_universal_step``)."""
 
     # Stage-wise remat: checkpoint encode / denoise / decode SEPARATELY so
     # the backward's peak residency is max(stage), not sum(stages).  One
@@ -169,7 +161,35 @@ def make_universal_step(
             loss = loss + cfg.l_inf_image_coeff * lp_distance(out_image, source, jnp.inf)
         return loss
 
-    grad_fn = jax.value_and_grad(rep_loss, argnums=0)
+    return rep_loss
+
+
+def make_universal_step(
+    model: DiffusionModel,
+    cfg: UniversalConfig,
+    bank: PromptBank,
+    preview: Optional[TinyAutoencoder] = None,
+    mean_grad=None,
+):
+    """One optimization step over one source image:
+    ``step(params, pert, source[1,H,W,3], key) -> (pert', avg_loss)``.
+
+    ``preview``: a :class:`TinyAutoencoder` whose params live at
+    ``params["preview_vae"]``.  When given, the loss-side decode runs through
+    the tiny decoder exactly as the reference does (``old/train_noise.py:82``
+    builds taesdxl, ``:151`` decodes the edited latents with it inside the
+    gradient path) — ~40× cheaper than the full VAE decoder, per EOT rep.
+    Without it we fall back to the full VAE decode (same loss semantics,
+    higher fidelity/cost).
+
+    ``mean_grad``: optional override of the EOT mean-gradient inner loop,
+    ``mean_grad(params, pert, source, key) -> (grad, avg_loss)`` — the hook
+    ``parallel/eot.py::make_sharded_universal_step`` uses to shard the reps
+    over the mesh.  Default: a serial ``lax.scan`` over ``cfg.grad_reps``.
+    """
+    grad_fn = jax.value_and_grad(
+        _universal_rep_loss(model, cfg, bank, preview), argnums=0
+    )
 
     tx = None
     if cfg.optimizer is not None:
@@ -186,17 +206,19 @@ def make_universal_step(
             pert = jnp.clip(source + pert, -1.0, 1.0) - source
         return pert
 
-    def _mean_grad(params, pert, source, key):
-        rep_keys = jax.random.split(key, cfg.grad_reps)
+    if mean_grad is None:
+        def mean_grad(params, pert, source, key):
+            rep_keys = jax.random.split(key, cfg.grad_reps)
 
-        def body(acc, k):
-            loss, g = grad_fn(pert, params, source, k)
-            return (acc[0] + g, acc[1] + loss), None
+            def body(acc, k):
+                loss, g = grad_fn(pert, params, source, k)
+                return (acc[0] + g, acc[1] + loss), None
 
-        (gsum, lsum), _ = jax.lax.scan(
-            body, (jnp.zeros_like(pert), jnp.zeros(())), rep_keys
-        )
-        return gsum / cfg.grad_reps, lsum / cfg.grad_reps
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (jnp.zeros_like(pert), jnp.zeros(())), rep_keys
+            )
+            return gsum / cfg.grad_reps, lsum / cfg.grad_reps
+    _mean_grad = mean_grad
 
     if tx is None:
         def step(params, pert, source, key):
@@ -276,6 +298,7 @@ def train_universal_perturbation(
     preview: Optional[TinyAutoencoder] = None,
     vis_every: Optional[int] = None,
     vis_fn=None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Dataset loop (``old/train_noise.py:115-185``): shuffled single-image
     batches until ``max_steps`` or ``epochs`` exhausted.
@@ -288,12 +311,28 @@ def train_universal_perturbation(
     the current batch image and hand ``vis_fn(step, collage)`` an HWC uint8
     [perturbed | source | validation] collage — the reference's
     ``validate_every_k_steps`` wandb logging (``old/train_noise.py:196-214``),
-    host-callback only, off the jitted hot path."""
+    host-callback only, off the jitted hot path.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a reps axis — the EOT gradient
+    samples shard over it (``parallel/eot.py::make_sharded_universal_step``),
+    dividing the step wall-clock by the axis size on multi-chip hosts."""
     prompts = [
         (cfg.default_prompt + " " + e).strip() for e in cfg.edit_prompts
     ]
     bank = model.embed_prompt_bank(prompts)
-    raw_step = make_universal_step(model, cfg, bank, preview=preview)
+    if mesh is not None:
+        from tml_image_editing_defense_tpu.parallel.eot import (
+            make_sharded_universal_step,
+        )
+        from tml_image_editing_defense_tpu.parallel.mesh import REPS_AXIS
+
+        if mesh.shape.get(REPS_AXIS, 1) > 1:
+            raw_step = make_sharded_universal_step(model, cfg, bank, mesh,
+                                                   preview=preview)
+        else:
+            raw_step = make_universal_step(model, cfg, bank, preview=preview)
+    else:
+        raw_step = make_universal_step(model, cfg, bank, preview=preview)
     step = jax.jit(raw_step)
     opt_init = getattr(raw_step, "init", None)
     validate = None
@@ -307,25 +346,32 @@ def train_universal_perturbation(
     opt_state = None if opt_init is None else opt_init(pert)
     losses: List[float] = []
     count = 0
-    for _ in range(cfg.epochs):
-        key, kperm = jax.random.split(key)
-        order = jax.random.permutation(kperm, len(images))
-        for idx in np.asarray(order):
-            if count >= cfg.max_steps:
-                return pert, losses
-            key, sub = jax.random.split(key)
-            img = jnp.asarray(images[int(idx)])
-            if opt_init is None:
-                pert, loss = step(run_params, pert, img, sub)
-            else:
-                pert, opt_state, loss = step(run_params, pert, opt_state, img, sub)
-            losses.append(float(loss))
-            if log_fn is not None:
-                log_fn(count, losses[-1])
-            if validate is not None and count % vis_every == 0:
-                key, kv = jax.random.split(key)
-                val = validate(run_params, pert, img, kv)
-                vis_fn(count, _universal_collage(
-                    np.asarray(img), np.asarray(pert), np.asarray(val), count))
-            count += 1
+    import contextlib
+
+    ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+           else contextlib.nullcontext())
+    with ctx:
+        for _ in range(cfg.epochs):
+            key, kperm = jax.random.split(key)
+            order = jax.random.permutation(kperm, len(images))
+            for idx in np.asarray(order):
+                if count >= cfg.max_steps:
+                    return pert, losses
+                key, sub = jax.random.split(key)
+                img = jnp.asarray(images[int(idx)])
+                if opt_init is None:
+                    pert, loss = step(run_params, pert, img, sub)
+                else:
+                    pert, opt_state, loss = step(run_params, pert, opt_state,
+                                                 img, sub)
+                losses.append(float(loss))
+                if log_fn is not None:
+                    log_fn(count, losses[-1])
+                if validate is not None and count % vis_every == 0:
+                    key, kv = jax.random.split(key)
+                    val = validate(run_params, pert, img, kv)
+                    vis_fn(count, _universal_collage(
+                        np.asarray(img), np.asarray(pert), np.asarray(val),
+                        count))
+                count += 1
     return pert, losses

@@ -130,3 +130,66 @@ def make_sharded_eot_pgd_step(
         return x_adv, aux
 
     return step
+
+
+def make_sharded_universal_step(
+    model: DiffusionModel,
+    cfg,                                   # UniversalConfig
+    bank,
+    mesh: Mesh,
+    preview=None,
+):
+    """Universal-perturbation step (``attack/universal.py``) with its EOT
+    reps sharded over ``mesh[REPS_AXIS]``.
+
+    The reference's universal trainer averages ``grad_reps`` independent
+    gradient samples sequentially (``old/train_noise.py:130-166``); here each
+    chip evaluates ``grad_reps / n_shards`` of them and the mean is one
+    ``pmean`` over ICI — at the reference's native SDXL@1024² config the step
+    is 7.77 s on one v5e (docs/PERF.md), all of it in the reps loop, so the
+    sharding divides wall-clock linearly.  Same update rule / projections as
+    the serial step (the mean gradient is handed back to
+    ``make_universal_step`` through its ``mean_grad`` hook); rep keys are the
+    global serial stream block-sharded, so the EOT distribution is unchanged.
+    """
+    from tml_image_editing_defense_tpu.attack.universal import (
+        _universal_rep_loss,
+        make_universal_step,
+    )
+
+    n_shards = mesh.shape[REPS_AXIS]
+    if cfg.grad_reps % n_shards:
+        raise ValueError(
+            f"grad_reps={cfg.grad_reps} not divisible by reps-axis size {n_shards}"
+        )
+    local_reps = cfg.grad_reps // n_shards
+    grad_fn = jax.value_and_grad(
+        _universal_rep_loss(model, cfg, bank, preview), argnums=0
+    )
+
+    def local_mean(params, pert, source, rep_keys_local):
+        def body(acc, k):
+            loss, g = grad_fn(pert, params, source, k)
+            return (acc[0] + g, acc[1] + loss), None
+
+        (gsum, lsum), _ = jax.lax.scan(
+            body, (jnp.zeros_like(pert), jnp.zeros(())), rep_keys_local
+        )
+        grad = jax.lax.pmean(gsum / local_reps, REPS_AXIS)
+        avg_loss = jax.lax.pmean(lsum / local_reps, REPS_AXIS)
+        return grad, avg_loss
+
+    sharded = shard_map(
+        local_mean,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(REPS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def mean_grad(params, pert, source, key):
+        rep_keys = jax.random.split(key, cfg.grad_reps)
+        return sharded(params, pert, source, rep_keys)
+
+    return make_universal_step(model, cfg, bank, preview=preview,
+                               mean_grad=mean_grad)
