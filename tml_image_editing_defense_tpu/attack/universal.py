@@ -187,10 +187,6 @@ def make_universal_step(
     ``parallel/eot.py::make_sharded_universal_step`` uses to shard the reps
     over the mesh.  Default: a serial ``lax.scan`` over ``cfg.grad_reps``.
     """
-    grad_fn = jax.value_and_grad(
-        _universal_rep_loss(model, cfg, bank, preview), argnums=0
-    )
-
     tx = None
     if cfg.optimizer is not None:
         if cfg.optimizer != "adam":
@@ -207,6 +203,10 @@ def make_universal_step(
         return pert
 
     if mean_grad is None:
+        grad_fn = jax.value_and_grad(
+            _universal_rep_loss(model, cfg, bank, preview), argnums=0
+        )
+
         def mean_grad(params, pert, source, key):
             rep_keys = jax.random.split(key, cfg.grad_reps)
 
