@@ -323,6 +323,58 @@ def test_resume_continues_rng_stream(img_file, tmp_path, tiny_model):
     np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
 
 
+def test_blocked_dispatch_matches_per_step(img_file, tmp_path, tiny_model):
+    """``run_pgd(block_size=k)`` (lax.scan blocks per dispatch, the remote-
+    dispatch latency amortizer) must reproduce the per-step loop exactly:
+    same final iterate, same every-iteration history, vis callbacks at the
+    same iterations with the same losses."""
+    import numpy as np
+    from tml_image_editing_defense_tpu.attack import make_attack_data
+    from tml_image_editing_defense_tpu.attack.pgd import run_pgd
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.api import training_sampler_kind
+    from tml_image_editing_defense_tpu.core.samplers import make_sampler
+
+    cfg = _train_cfg(img_file, tmp_path / "b", n_optimization_steps=7,
+                     enable_visualization=False)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, image_visualization_interval=3)
+    model = tiny_model
+    src = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    bank = model.embed_prompt_bank(list(cfg.prompts))
+    pool = make_noise_pool(jax.random.key(5), max(cfg.n_noise, 1), model.latent_shape)
+    data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
+    sampler = make_sampler(training_sampler_kind(model.family, cfg.use_lcm), model.schedule)
+    plan = sampler.plan(cfg.n_denoising_steps_per_iteration,
+                        limit_t=700 if cfg.limit_timesteps else None)
+    key = jax.random.key(21)
+
+    vis_ref, vis_blk = [], []
+    x_ref, h_ref = run_pgd(model, sampler, plan, cfg, data, key,
+                           vis_callback=lambda it, x, aux:
+                               vis_ref.append((it, float(aux["avg_loss"]))))
+    x_blk, h_blk = run_pgd(model, sampler, plan, cfg, data, key,
+                           vis_callback=lambda it, x, aux:
+                               vis_blk.append((it, float(aux["avg_loss"]))),
+                           block_size=3)
+    np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert len(h_blk) == len(h_ref) == 7
+    for a, b in zip(h_blk, h_ref):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
+    assert [it for it, _ in vis_blk] == [it for it, _ in vis_ref] == [0, 3, 6]
+    for (ia, la), (ib, lb) in zip(vis_blk, vis_ref):
+        np.testing.assert_allclose(la, lb, rtol=1e-5)
+
+    # no-vis path: pure blocks + tail
+    x2_ref, h2_ref = run_pgd(model, sampler, plan, cfg, data, key)
+    x2_blk, h2_blk = run_pgd(model, sampler, plan, cfg, data, key, block_size=4)
+    np.testing.assert_allclose(np.asarray(x2_blk), np.asarray(x2_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert len(h2_blk) == 7
+
+
 def test_sweep_single_cell(img_file, tmp_path, tiny_model, monkeypatch):
     from tml_image_editing_defense_tpu.configs import SweepConfig
 

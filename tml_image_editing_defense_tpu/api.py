@@ -283,6 +283,7 @@ def immunize(
             model, sampler, plan, cfg, data, loop_key,
             x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
             stop_flag=preempted, step_fn=step_fn, mesh=reps_mesh,
+            block_size=cfg.dispatch_block,
         )
     if preempted:
         # checkpoint so a relaunch resumes (the handling the reference's

@@ -20,6 +20,7 @@ from typing import Callable, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tml_image_editing_defense_tpu.attack.forward import (
     CondInputs,
@@ -455,18 +456,30 @@ def run_pgd(
     stop_flag=None,
     step_fn: Optional[Callable] = None,
     mesh=None,
+    block_size: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, list]:
     """Host-driven PGD loop with optional visualization callbacks at
     ``cfg.image_visualization_interval`` (reference main.py:117-135).  The
     step itself is jitted once; callbacks only sync at vis iterations.
 
     ``stop_flag``: truthy-checkable object (see utils/preemption.py) polled
-    between steps; on preemption the loop returns early with the current
-    iterate.
+    between dispatches; on preemption the loop returns early with the
+    current iterate.
 
     ``step_fn``/``mesh``: an alternative step function (same signature as
     :func:`make_pgd_step`'s result — e.g. the reps-sharded step from
     parallel/eot.py) and the mesh to activate while driving it.
+
+    ``block_size``: fuse up to this many iterations into ONE dispatch (a
+    ``lax.scan`` over the same step).  Identical math and RNG stream; vis
+    callbacks still fire at exactly the same iterations (blocks are cut so
+    their last step lands on each vis boundary), so only the preemption
+    poll granularity coarsens to a block.  This exists for remote-dispatch
+    deployments: per-dispatch latency on a tunneled chip measured ~0.8 s
+    under load — +46% on the 200-step sd15 rehearsal (docs/ROUND4.md) —
+    while on directly-attached chips it is ~µs and ``None`` (one dispatch
+    per iteration, the default) is fine.  Cost: one extra resident copy of
+    the step aux (incl. the decoded vis image) in the scan carry.
 
     Per-iteration keys are derived positionally (``fold_in(key, it)``), so a
     run resumed at iteration k from a checkpoint continues the *same* RNG
@@ -481,7 +494,8 @@ def run_pgd(
     """
     import contextlib
 
-    step = jax.jit(step_fn or make_pgd_step(model, sampler, plan, cfg))
+    raw_step = step_fn or make_pgd_step(model, sampler, plan, cfg)
+    step = jax.jit(raw_step)
     ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
            else contextlib.nullcontext())
     x_adv = data.source if x_init is None else x_init
@@ -489,19 +503,85 @@ def run_pgd(
     pending = []   # device scalars only — never the (large) output_image
     preempted = None
     n = cfg.n_optimization_steps
+    interval = cfg.image_visualization_interval
+    block_size = max(1, int(block_size or 1))
+
+    block_cache: dict = {}
+
+    def get_block(length: int):
+        """Jitted scan of ``length`` steps: one program per distinct length
+        (≤3 in practice: a 1-step vis opener, the full block, a tail)."""
+        if length not in block_cache:
+            # abstract aux structure, computed once outside the trace — the
+            # aux carry keeps ONE resident copy of the last step's aux (vs
+            # stacking `length` decoded images as scan ys)
+            if "aux_sd" not in block_cache:
+                block_cache["aux_sd"] = jax.eval_shape(
+                    raw_step, model.params, x_adv, data,
+                    jax.random.fold_in(key, 0),
+                )[1]
+            aux_sd = block_cache["aux_sd"]
+
+            def blk(params, x, data_, key_, start):
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(key_, start + i)
+                )(jnp.arange(length))
+                aux0 = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), aux_sd
+                )
+
+                def body(carry, kk):
+                    xc, _ = carry
+                    x2, aux = raw_step(params, xc, data_, kk)
+                    return (x2, aux), tuple(aux[k] for k in scalar_keys)
+
+                (x_out, last_aux), ys = jax.lax.scan(body, (x, aux0), keys)
+                return x_out, last_aux, ys
+
+            block_cache[length] = jax.jit(blk)
+        return block_cache[length]
+
+    def next_len(it: int) -> int:
+        """Longest block from ``it`` that ends on the next vis boundary."""
+        if vis_callback is None:
+            return min(block_size, n - it)
+        s = it if it % interval == 0 else ((it // interval) + 1) * interval
+        s = min(s, n - 1)                      # the loop also syncs at n-1
+        return min(block_size, s - it + 1, n - it)
+
     with ctx:
-        for it in range(start_iteration, n):
+        it = start_iteration
+        while it < n:
             if stop_flag:
                 preempted = {"preempted_at": it}
                 break
-            sub = jax.random.fold_in(key, it)
-            x_adv, aux = step(model.params, x_adv, data, sub)
-            pending.append({k: aux[k] for k in scalar_keys})
+            length = next_len(it)
+            if length == 1:
+                sub = jax.random.fold_in(key, it)
+                x_adv, aux = step(model.params, x_adv, data, sub)
+                pending.append({k: aux[k] for k in scalar_keys})
+            else:
+                x_adv, aux, ys = get_block(length)(
+                    model.params, x_adv, data, key, it
+                )
+                pending.append(dict(zip(scalar_keys, ys)))
+            last_it = it + length - 1
             if vis_callback is not None and (
-                it % cfg.image_visualization_interval == 0 or it == n - 1
+                last_it % interval == 0 or last_it == n - 1
             ):
-                vis_callback(it, x_adv, aux)
-    history = [{k: float(e[k]) for k in scalar_keys} for e in pending]
+                vis_callback(last_it, x_adv, aux)
+            it += length
+    history = []
+    for e in pending:
+        first = np.asarray(e[scalar_keys[0]])
+        if first.ndim == 0:
+            history.append({k: float(e[k]) for k in scalar_keys})
+        else:
+            cols = {k: np.asarray(e[k]) for k in scalar_keys}
+            history.extend(
+                {k: float(cols[k][j]) for k in scalar_keys}
+                for j in range(first.shape[0])
+            )
     if preempted is not None:
         history.append(preempted)
     return x_adv, history

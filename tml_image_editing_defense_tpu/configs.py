@@ -233,6 +233,15 @@ class TrainConfig:
     #: when K≤4, ~1.4% faster; False keeps huge programs — SDXL 1024²
     #: fwd+bwd — within the compiler's reach).
     unroll_denoise: Optional[bool] = None
+    #: Fuse up to this many PGD iterations into one dispatch in the
+    #: host-driven immunize loop (``lax.scan`` blocks; identical math and
+    #: RNG stream; vis/checkpoint callbacks still fire at the exact same
+    #: iterations — preemption polling coarsens to a block).  None = one
+    #: dispatch per iteration.  Worth setting to the vis interval when
+    #: dispatch rides a network tunnel (measured ~0.8 s/dispatch under
+    #: load, +46% on the 200-step rehearsal — docs/ROUND4.md); irrelevant
+    #: on directly-attached chips.
+    dispatch_block: Optional[int] = None
     #: Checkpoint the VAE encode/decode inside the EOT gradient: their
     #: forward activations (~1.2 GB of encoder conv outputs at 1024²) are
     #: recomputed in the backward instead of saved.  Required (with
