@@ -372,8 +372,13 @@ def sdxl_leg(state: dict) -> dict:
 
 
 def assemble(state: dict) -> dict:
-    """Build the driver-facing JSON dict from accumulated leg results."""
-    enc_s_per_image = state["enc_s_per_image"]
+    """Build the driver-facing JSON dict from accumulated leg results.
+
+    Tolerates a missing headline metric (``value: null``) so a line can be
+    emitted even when the headline leg hung or failed — a parseable degraded
+    record with the error attached beats an empty stdout.
+    """
+    enc = state.get("enc_s_per_image")
     extras = {
         k: v for k, v in state.items()
         if not k.startswith("_")
@@ -381,29 +386,76 @@ def assemble(state: dict) -> dict:
     }
     return {
         "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
-        "value": round(enc_s_per_image, 4),
+        "value": round(enc, 4) if enc else None,
         "unit": "s/image/chip",
-        "vs_baseline": round(5.0 / enc_s_per_image, 3),
-        "encoder_steps_per_sec_per_image": round(
-            state["n_enc_steps"] / enc_s_per_image, 2
+        "vs_baseline": round(5.0 / enc, 3) if enc else None,
+        "encoder_steps_per_sec_per_image": (
+            round(state["n_enc_steps"] / enc, 2) if enc else None
         ),
-        "encoder_batch1_s_per_image": round(state["enc_b1"], 4),
+        "encoder_batch1_s_per_image": (
+            round(state["enc_b1"], 4) if "enc_b1" in state else None
+        ),
         "elapsed_s": round(time.time() - _T_START, 1),
         **extras,
     }
 
 
-def run_legs(legs, state, deadline, emit=None, now=time.time) -> dict:
+def _run_leg_abandonable(name: str, fn, state: dict, timeout: float):
+    """Run ``fn(state)`` in a daemon thread and abandon it past ``timeout``.
+
+    A lost in-flight RPC on the tunneled backend hangs a host value fetch
+    FOREVER (observed live in round 4: the encoder leg's first fetch never
+    returned while a fresh process could compile+execute fine — a worker
+    restart ate the reply).  Python cannot kill the thread, but daemon=True
+    means it cannot block process exit either, and the main thread stays
+    free to emit the driver record and give later legs their slice of the
+    deadline.  An abandoned leg's thread may still mutate ``state`` if it
+    ever wakes; dict ops are atomic under the GIL and later emissions would
+    only pick up extra keys.
+    """
+    import threading
+
+    box: dict = {}
+
+    def work():
+        try:
+            box["result"] = fn(state)
+        except BaseException as e:  # noqa: BLE001 — must cross the thread
+            box["error"] = e
+
+    t = threading.Thread(target=work, daemon=True, name=f"bench-leg-{name}")
+    t.start()
+    t.join(None if timeout == float("inf") else timeout)
+    if t.is_alive():
+        raise TimeoutError(
+            f"leg {name!r} hung past {timeout:.0f}s (thread abandoned; "
+            "lost-RPC/worker-restart signature)"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box.get("result") or {}
+
+
+def run_legs(legs, state, deadline, emit=None, now=time.time,
+             min_leg_timeout=120.0) -> dict:
     """Run ``legs`` = [(name, min_est_cost_s, fn), ...] in order against a
     wall-clock ``deadline`` (absolute, same clock as ``now``).
 
     - The FIRST leg always runs (it produces the headline metric).
     - A later leg is skipped when the remaining time is under its estimated
       cost — the already-emitted result line is the record for this run.
-    - After every completed (or failed) leg, the full result line is
+    - Every leg runs under a watchdog (`_run_leg_abandonable`): a leg that
+      hangs on a lost backend RPC is abandoned at the deadline (+ a small
+      grace so the watchdog, not the driver's kill, ends it), recorded in
+      ``hung_legs``/``<name>_error``, and the run continues — the r3/r4
+      failure mode where one hung fetch produced an EMPTY stdout is gone.
+    - After every completed / failed / hung leg, the full result line is
       re-emitted; the LAST stdout line is the driver's record, so a kill at
-      any point leaves the freshest complete result.
-    - A leg failure is recorded as ``<name>_error`` and never aborts the run.
+      any point leaves the freshest complete result.  A headline leg that
+      produced no metric still emits a degraded (``value: null``) line
+      before raising.
+    - A later-leg failure is recorded as ``<name>_error`` and never aborts
+      the run.
     """
     if emit is None:
         emit = lambda s: print(s, flush=True)  # noqa: E731
@@ -416,17 +468,22 @@ def run_legs(legs, state, deadline, emit=None, now=time.time) -> dict:
             state.setdefault("skipped_legs", []).append(name)
             emit(json.dumps(assemble(state)))
             continue
+        timeout = max(min_leg_timeout, remaining + 0.5 * min_leg_timeout)
         try:
-            state.update(fn(state))
+            state.update(_run_leg_abandonable(name, fn, state, timeout))
+        except TimeoutError as e:
+            log(f"{name} leg HUNG: {e}")
+            state[f"{name}_error"] = f"TimeoutError: {e}"
+            state.setdefault("hung_legs", []).append(name)
         except Exception as e:
             log(f"{name} leg failed: {type(e).__name__}: {e}")
             state[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        emit(json.dumps(assemble(state)))
         if first and "enc_s_per_image" not in state:
             raise RuntimeError(
                 f"headline leg {name!r} produced no metric: "
                 + str(state.get(f"{name}_error"))
             )
-        emit(json.dumps(assemble(state)))
         first = False
     return state
 
@@ -487,6 +544,9 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     state: dict = {"_dtype": jnp.bfloat16, "device": str(dev)}
+    # Insurance line: if the process is killed before the first leg's
+    # watchdog fires, the driver still parses a (degraded) JSON record.
+    print(json.dumps(assemble(state)), flush=True)
 
     legs = [
         ("encoder", 0.0, encoder_leg),

@@ -144,13 +144,60 @@ def test_run_legs_records_later_leg_failure_and_keeps_headline():
     assert "RESOURCE_EXHAUSTED" in last["sdxl_error"]
 
 
-def test_run_legs_headline_failure_raises():
+def test_run_legs_headline_failure_emits_degraded_line_then_raises():
+    """A headline failure must still leave a parseable last line (value:
+    null + the error) before raising — an empty stdout is the one outcome
+    the driver cannot use."""
+    emitted = []
+
     def boom(state):
         raise RuntimeError("no backend")
 
     with pytest.raises(RuntimeError, match="headline leg"):
         bench.run_legs([("encoder", 0.0, boom)], {}, deadline=float("inf"),
-                       emit=lambda s: pytest.fail("emitted without headline"))
+                       emit=emitted.append)
+    last = json.loads(emitted[-1])
+    assert last["value"] is None
+    assert "no backend" in last["encoder_error"]
+
+
+def test_run_legs_hung_later_leg_abandoned_and_recorded():
+    """A leg that never returns (lost backend RPC — observed live in round
+    4: a worker restart ate the encoder leg's first fetch) is abandoned by
+    the watchdog; the record carries the hang and the run completes."""
+    import threading
+
+    emitted = []
+
+    def hang(state):
+        threading.Event().wait()  # blocks forever; daemon thread abandoned
+
+    state = bench.run_legs(
+        [("encoder", 0.0, _headline_leg), ("diffusion", 0.0, hang)],
+        {}, deadline=0.0, emit=emitted.append, now=lambda: 0.0,
+        min_leg_timeout=0.3,
+    )
+    last = json.loads(emitted[-1])
+    assert last["value"] == 2.0
+    assert state["hung_legs"] == ["diffusion"]
+    assert "hung past" in last["diffusion_error"]
+
+
+def test_run_legs_hung_headline_emits_degraded_line_then_raises():
+    import threading
+
+    emitted = []
+
+    def hang(state):
+        threading.Event().wait()
+
+    with pytest.raises(RuntimeError, match="headline leg"):
+        bench.run_legs([("encoder", 0.0, hang)], {}, deadline=0.0,
+                       emit=emitted.append, now=lambda: 0.0,
+                       min_leg_timeout=0.3)
+    last = json.loads(emitted[-1])
+    assert last["value"] is None
+    assert last["hung_legs"] == ["encoder"]
 
 
 def test_run_legs_first_leg_always_runs_even_past_deadline():
