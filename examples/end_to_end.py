@@ -33,8 +33,13 @@ def main():
     ap.add_argument("--output", type=Path, default=Path("./output/example"))
     ap.add_argument("--family", type=str, default=None, help="sd15|sdxl|tiny")
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--use-lcm-training", action="store_true", default=True)
-    ap.add_argument("--use-lcm-inference", action="store_true", default=False)
+    ap.add_argument("--eval-prompts", type=int, default=None,
+                    help="evaluate only the first N inference prompts "
+                         "(default: 2 for dev families, all 18 otherwise)")
+    ap.add_argument("--use-lcm-training", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--use-lcm-inference", action=argparse.BooleanOptionalAction,
+                    default=False)
     ap.add_argument("--params", type=Path, default=None,
                     help="converted real-weight .msgpack "
                          "(scripts/prepare_real_weights.py)")
@@ -96,7 +101,9 @@ def main():
     grids = api.evaluate(
         inference_cfg,
         adversarial_image,
-        inference_prompts=INFERENCE_PROMPTS[:2] if dev else INFERENCE_PROMPTS,
+        inference_prompts=INFERENCE_PROMPTS[:args.eval_prompts]
+        if args.eval_prompts is not None
+        else (INFERENCE_PROMPTS[:2] if dev else INFERENCE_PROMPTS),
         model=result.model,
         noises=noises,
         training_prompts=train_cfg.prompts,
