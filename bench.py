@@ -257,7 +257,9 @@ def diffusion_leg(state: dict) -> dict:
     )
     pool = make_noise_pool(jax.random.key(2), cfg.n_noise, model.latent_shape, dtype)
     data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
-    step = jax.jit(make_pgd_step(model, sampler, plan, cfg))
+    # decode_vis=False: measure the hot-path step run_pgd actually drives —
+    # 24 of every 25 product iterations skip the vis decode (interval 25)
+    step = jax.jit(make_pgd_step(model, sampler, plan, cfg, decode_vis=False))
     t0 = time.time()
     x1, aux = step(model.params, src, data, _measure_key(3))
     first_loss = _sync(aux["avg_loss"])
@@ -333,7 +335,7 @@ def sdxl_leg(state: dict) -> dict:
     xbank = xl.embed_prompt_bank([p + ", detailed" for p in PROMPTS_LIST[:4]])
     xpool = make_noise_pool(jax.random.key(8), 1, xl.latent_shape, dtype)
     xdata = make_attack_data(xl, cfg, src, jnp.zeros_like(src), xbank, xpool)
-    xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg))
+    xstep = jax.jit(make_pgd_step(xl, xsampler, xplan, cfg, decode_vis=False))
     t0 = time.time()
     x1, xaux = xstep(xl.params, src, xdata, _measure_key(9))
     _sync(xaux["avg_loss"])
@@ -384,13 +386,16 @@ def assemble(state: dict) -> dict:
         if not k.startswith("_")
         and k not in ("enc_b1", "enc_s_per_image", "n_enc_steps")
     }
+    # `enc is not None` (not truthiness): a 0.0 measurement is bogus and must
+    # surface as 0.0 with null derived rates, not vanish as value=null
+    have_enc = enc is not None
     return {
         "metric": "SD1.5 encoder-attack immunization, 200 PGD steps @512² (L∞, batch 8)",
-        "value": round(enc, 4) if enc else None,
+        "value": round(enc, 4) if have_enc else None,
         "unit": "s/image/chip",
-        "vs_baseline": round(5.0 / enc, 3) if enc else None,
+        "vs_baseline": round(5.0 / enc, 3) if have_enc and enc > 0 else None,
         "encoder_steps_per_sec_per_image": (
-            round(state["n_enc_steps"] / enc, 2) if enc else None
+            round(state["n_enc_steps"] / enc, 2) if have_enc and enc > 0 else None
         ),
         "encoder_batch1_s_per_image": (
             round(state["enc_b1"], 4) if "enc_b1" in state else None
@@ -398,6 +403,12 @@ def assemble(state: dict) -> dict:
         "elapsed_s": round(time.time() - _T_START, 1),
         **extras,
     }
+
+
+class LegHungError(TimeoutError):
+    """Watchdog abandon signal — distinct from any builtin TimeoutError a leg
+    body might itself raise (socket.timeout is an alias since 3.10), so a
+    leg's own timeout is classified as a failure, not a hang."""
 
 
 def _run_leg_abandonable(name: str, fn, state: dict, timeout: float):
@@ -409,9 +420,10 @@ def _run_leg_abandonable(name: str, fn, state: dict, timeout: float):
     restart ate the reply).  Python cannot kill the thread, but daemon=True
     means it cannot block process exit either, and the main thread stays
     free to emit the driver record and give later legs their slice of the
-    deadline.  An abandoned leg's thread may still mutate ``state`` if it
-    ever wakes; dict ops are atomic under the GIL and later emissions would
-    only pick up extra keys.
+    deadline.  Caveats of abandoning: a late result from the zombie thread
+    is DISCARDED (``box`` is never re-read after the abandon), and the
+    thread may keep issuing backend RPCs concurrently with the next leg's
+    dispatches on the same client.
     """
     import threading
 
@@ -427,13 +439,18 @@ def _run_leg_abandonable(name: str, fn, state: dict, timeout: float):
     t.start()
     t.join(None if timeout == float("inf") else timeout)
     if t.is_alive():
-        raise TimeoutError(
+        raise LegHungError(
             f"leg {name!r} hung past {timeout:.0f}s (thread abandoned; "
             "lost-RPC/worker-restart signature)"
         )
     if "error" in box:
         raise box["error"]
-    return box.get("result") or {}
+    result = box.get("result")
+    if result is None:
+        return {}
+    if not isinstance(result, dict):
+        raise TypeError(f"leg {name!r} returned {type(result).__name__}, not dict")
+    return result
 
 
 def run_legs(legs, state, deadline, emit=None, now=time.time,
@@ -460,7 +477,7 @@ def run_legs(legs, state, deadline, emit=None, now=time.time,
     if emit is None:
         emit = lambda s: print(s, flush=True)  # noqa: E731
     first = True
-    for name, est, fn in legs:
+    for i, (name, est, fn) in enumerate(legs):
         remaining = deadline - now()
         if not first and remaining < est:
             log(f"skipping leg {name!r}: {remaining:.0f}s left < ~{est:.0f}s "
@@ -468,10 +485,15 @@ def run_legs(legs, state, deadline, emit=None, now=time.time,
             state.setdefault("skipped_legs", []).append(name)
             emit(json.dumps(assemble(state)))
             continue
-        timeout = max(min_leg_timeout, remaining + 0.5 * min_leg_timeout)
+        # reserve later legs' estimated costs so one hung leg cannot consume
+        # the whole remaining budget and starve everything after it
+        reserved = sum(e for _, e, _ in legs[i + 1:])
+        timeout = max(
+            min_leg_timeout, remaining - reserved + 0.5 * min_leg_timeout
+        )
         try:
             state.update(_run_leg_abandonable(name, fn, state, timeout))
-        except TimeoutError as e:
+        except LegHungError as e:
             log(f"{name} leg HUNG: {e}")
             state[f"{name}_error"] = f"TimeoutError: {e}"
             state.setdefault("hung_legs", []).append(name)

@@ -33,9 +33,16 @@ def main():
     ap.add_argument("--output", type=Path, default=Path("./output/example"))
     ap.add_argument("--family", type=str, default=None, help="sd15|sdxl|tiny")
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--eval-prompts", type=int, default=None,
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(f"must be a positive int, got {n}")
+        return n
+
+    ap.add_argument("--eval-prompts", type=_positive_int, default=None,
                     help="evaluate only the first N inference prompts "
-                         "(default: 2 for dev families, all 18 otherwise)")
+                         f"(default: 2 for dev families, "
+                         f"all {len(INFERENCE_PROMPTS)} otherwise)")
     ap.add_argument("--use-lcm-training", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--use-lcm-inference", action=argparse.BooleanOptionalAction,

@@ -302,6 +302,72 @@ def tiny_vae_manifest(
 
 
 # ---------------------------------------------------------------------------
+# ISNet / briaai RMBG-1.4 (segmenter, reference main.py:316-322)
+# ---------------------------------------------------------------------------
+
+
+def isnet_manifest() -> dict:
+    """Enumerate ``briaai/RMBG-1.4`` (BriaRMBG = ISNetDIS) state-dict keys
+    from the known module structure: ``myrebnconv`` stem (conv/bn), RSU7..4F
+    encoder stages, RSU decoder stages, six side heads.  BatchNorm buffers
+    ``running_mean``/``running_var``/``num_batches_tracked`` appear in the
+    real checkpoint; the converter maps the first two and ignores the
+    counter (tests/test_isnet.py drops it before comparing)."""
+    m = {}
+
+    def p(key, shape):
+        m[key] = list(shape)
+
+    def bn(prefix, ch):
+        p(f"{prefix}.weight", (ch,)); p(f"{prefix}.bias", (ch,))
+        p(f"{prefix}.running_mean", (ch,)); p(f"{prefix}.running_var", (ch,))
+        p(f"{prefix}.num_batches_tracked", ())
+
+    def rebnconv(prefix, cin, cout):
+        p(f"{prefix}.conv_s1.weight", (cout, cin, 3, 3))
+        p(f"{prefix}.conv_s1.bias", (cout,))
+        bn(f"{prefix}.bn_s1", cout)
+
+    def rsu(prefix, height, cin, mid, cout):
+        rebnconv(f"{prefix}.rebnconvin", cin, cout)
+        rebnconv(f"{prefix}.rebnconv1", cout, mid)
+        for i in range(2, height + 1):
+            rebnconv(f"{prefix}.rebnconv{i}", mid, mid)
+        for i in range(height - 1, 1, -1):
+            rebnconv(f"{prefix}.rebnconv{i}d", 2 * mid, mid)
+        rebnconv(f"{prefix}.rebnconv1d", 2 * mid, cout)
+
+    def rsu4f(prefix, cin, mid, cout):
+        rebnconv(f"{prefix}.rebnconvin", cin, cout)
+        rebnconv(f"{prefix}.rebnconv1", cout, mid)
+        for i in (2, 3, 4):
+            rebnconv(f"{prefix}.rebnconv{i}", mid, mid)
+        for i in (3, 2):
+            rebnconv(f"{prefix}.rebnconv{i}d", 2 * mid, mid)
+        rebnconv(f"{prefix}.rebnconv1d", 2 * mid, cout)
+
+    # stem: myrebnconv(3, 64, stride=2) — children conv / bn
+    p("conv_in.conv.weight", (64, 3, 3, 3)); p("conv_in.conv.bias", (64,))
+    bn("conv_in.bn", 64)
+    # encoder (in, mid, out): stage outputs feed the next stage via maxpool
+    enc = [(7, 64, 32, 64), (6, 64, 32, 128), (5, 128, 64, 256),
+           (4, 256, 128, 512)]
+    for i, (h, cin, mid, cout) in enumerate(enc):
+        rsu(f"stage{i + 1}", h, cin, mid, cout)
+    rsu4f("stage5", 512, 256, 512)
+    rsu4f("stage6", 512, 256, 512)
+    # decoder: inputs are concat(upsampled deeper output, encoder skip)
+    rsu4f("stage5d", 1024, 256, 512)
+    rsu("stage4d", 4, 1024, 128, 256)
+    rsu("stage3d", 5, 512, 64, 128)
+    rsu("stage2d", 6, 256, 32, 64)
+    rsu("stage1d", 7, 128, 16, 64)
+    for i, ch in enumerate((64, 64, 128, 256, 512, 512)):
+        p(f"side{i + 1}.weight", (1, ch, 3, 3)); p(f"side{i + 1}.bias", (1,))
+    return m
+
+
+# ---------------------------------------------------------------------------
 # CLIP text encoders (oracle: transformers)
 # ---------------------------------------------------------------------------
 
@@ -354,6 +420,8 @@ def main():
         # madebyollin/taesdxl preview decoder (old/train_noise.py:82);
         # madebyollin/taesd is architecturally identical
         "taesd_vae": tiny_vae_manifest(),
+        # briaai/RMBG-1.4 segmenter (main.py:316-322)
+        "rmbg_isnet": isnet_manifest(),
     }
     for name, m in manifests.items():
         path = OUT / f"{name}.json"

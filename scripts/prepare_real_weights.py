@@ -42,9 +42,15 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--model-dir", required=True, type=Path,
+    ap.add_argument("--model-dir", type=Path, default=None,
                     help="diffusers-layout dir: unet/ vae/ text_encoder/ "
                          "[text_encoder_2/] *.safetensors")
+    ap.add_argument("--rmbg-dir", type=Path, default=None,
+                    help="briaai/RMBG-1.4 checkpoint dir: converts through "
+                         "the flax ISNet (models/isnet.py) and smoke-runs "
+                         "mask inference; no artifact is written — "
+                         "get_salient_mask loads the dir directly (pass it "
+                         "as segmentation_model_path)")
     ap.add_argument("--family", default="sd15",
                     choices=["sd15", "sdxl", "tiny", "tiny-sdxl"])  # tiny: CI
     ap.add_argument("--image-size", type=int, default=512,
@@ -57,7 +63,7 @@ def main() -> None:
                     help="LCM-LoRA .safetensors to fuse into the UNet "
                          "(main.py:292-295,305-308)")
     ap.add_argument("--lora-scale", type=float, default=1.0)
-    ap.add_argument("--out", required=True, type=Path,
+    ap.add_argument("--out", type=Path, default=None,
                     help="output .msgpack param file")
     ap.add_argument("--smoke", action="store_true",
                     help="run a tiny encode→denoise→decode smoke step after "
@@ -71,6 +77,32 @@ def main() -> None:
     if os.environ.get("TID_FORCE_CPU"):       # CI: the axon TPU plugin
         jax.config.update("jax_platforms", "cpu")  # ignores JAX_PLATFORMS
     import jax.numpy as jnp
+
+    if args.rmbg_dir is not None:
+        import numpy as np
+
+        from tml_image_editing_defense_tpu.models.isnet import (
+            load_rmbg_checkpoint,
+            salient_mask,
+        )
+
+        t0 = time.time()
+        log(f"converting RMBG-1.4 from {args.rmbg_dir} (strict; every key "
+            "must land — manifest tests/manifests/rmbg_isnet.json)…")
+        bundle = load_rmbg_checkpoint(args.rmbg_dir)
+        log("smoke: mask inference on a synthetic image…")
+        img = np.zeros((256, 256, 3), np.float32)
+        img[64:192, 64:192] = 0.8
+        mask = salient_mask(bundle, img, out_size=512)
+        assert mask.shape == (512, 512) and np.isfinite(mask).all()
+        log(f"RMBG OK in {time.time() - t0:.1f}s; use it with "
+            f"TrainConfig(use_segmentation_mask=True, "
+            f"segmentation_model_path='{args.rmbg_dir}')")
+        if args.model_dir is None:
+            return
+
+    if args.model_dir is None or args.out is None:
+        ap.error("--model-dir and --out are required (unless only --rmbg-dir)")
 
     from tml_image_editing_defense_tpu.models import build_model
     from tml_image_editing_defense_tpu.models.checkpoint_io import save_params

@@ -90,13 +90,13 @@ def main():
     eot = make_inpaint_eot_grad(model, sampler, plan, cfg)
 
     def step(params, x, data, key):
-        grad, loss = eot(params, x, data, key)
+        grad, aux = eot(params, x, data, key)
         x = perturbation_step(
             cfg.norm_type, x_adv=x, grad=grad, x_src=data.source,
             step_size=cfg.step_size, eps=cfg.eps,
             min_value=cfg.min_value, max_value=cfg.max_value, mask=None,
         )
-        return x, loss
+        return x, aux["avg_loss"]
 
     jstep = jax.jit(step)
     t0 = time.time()

@@ -200,6 +200,66 @@ def test_run_legs_hung_headline_emits_degraded_line_then_raises():
     assert last["hung_legs"] == ["encoder"]
 
 
+def test_run_legs_hung_leg_reserves_later_leg_budget():
+    """ADVICE r4: a hung leg's watchdog timeout must RESERVE later legs'
+    estimated costs, so the sdxl leg still gets its slice instead of being
+    starved by a diffusion hang that ate the whole remaining budget."""
+    import threading
+    import time as _time
+
+    emitted = []
+
+    def hang(state):
+        threading.Event().wait()
+
+    ran = []
+
+    def sdxl(state):
+        ran.append(True)
+        return {"sdxl_pgd_s_per_step": 1.7}
+
+    # fake clock: 1000s budget of which sdxl's estimate reserves 999.9 —
+    # without reservation the diffusion watchdog would wait ~1000 real
+    # seconds; with it, the timeout clamps to min_leg_timeout and sdxl
+    # (whose estimate still fits the un-advanced clock) runs afterwards
+    t0 = _time.time()
+    state = bench.run_legs(
+        [("encoder", 0.0, _headline_leg),
+         ("diffusion", 0.0, hang),
+         ("sdxl", 999.9, sdxl)],
+        {}, deadline=1000.0, emit=emitted.append, now=lambda: 0.0,
+        min_leg_timeout=0.3,
+    )
+    assert _time.time() - t0 < 30  # watchdog fired quickly
+    assert state["hung_legs"] == ["diffusion"]
+    assert ran  # sdxl still ran after the hang
+    assert json.loads(emitted[-1])["sdxl_pgd_s_per_step"] == 1.7
+
+
+def test_leg_raising_builtin_timeouterror_is_failure_not_hang():
+    """ADVICE r4: a leg body that itself raises TimeoutError (socket.timeout
+    alias) must be classified as a leg failure, not a watchdog hang."""
+    emitted = []
+
+    def raises_timeout(state):
+        raise TimeoutError("socket read timed out")
+
+    state = bench.run_legs(
+        [("encoder", 0.0, _headline_leg), ("diffusion", 0.0, raises_timeout)],
+        {}, deadline=float("inf"), emit=emitted.append,
+    )
+    assert "hung_legs" not in state
+    assert "socket read timed out" in state["diffusion_error"]
+
+
+def test_leg_returning_non_dict_fails_loudly():
+    state = {}
+    with pytest.raises(TypeError, match="not dict"):
+        bench._run_leg_abandonable("x", lambda s: [1, 2], state, 5.0)
+    # None (a leg with nothing to merge) is still tolerated
+    assert bench._run_leg_abandonable("x", lambda s: None, state, 5.0) == {}
+
+
 def test_run_legs_first_leg_always_runs_even_past_deadline():
     """The headline leg is never skipped — a late start (backend outage ate
     the budget) should still try to produce the one metric that matters."""
@@ -247,6 +307,6 @@ def test_diffusion_step_flops_counts_both_families(family, use_sdxl):
     flops2 = bench.diffusion_step_flops(model, cfg2, plan, data, src, jnp.float32)
     assert flops2 > flops
     per_rep = (flops2 - flops) / 2
-    once = flops - cfg.grad_reps * per_rep    # encode fwd+vjp + vis decode
+    once = flops - cfg.grad_reps * per_rep    # encode fwd+vjp (no vis decode)
     assert once > 0
     assert flops2 == pytest.approx(cfg2.grad_reps * per_rep + once)

@@ -78,6 +78,16 @@ class ImmunizeResult:
 def _default_family(cfg) -> str:
     if getattr(cfg, "model_family", None):
         return cfg.model_family
+    if getattr(cfg, "attack_mode", "diffusion") == "inpaint":
+        # PhotoGuard's complex attack targets the 9-channel SD-1.5 inpaint
+        # UNet (old/yuval_playground.py:331-340); no SDXL inpaint exists.
+        if cfg.use_sdxl:
+            raise ValueError(
+                "attack_mode='inpaint' has no SDXL variant (the reference's "
+                "inpaint attack is SD-1.5 only, old/yuval_playground.py:331); "
+                "unset use_sdxl or pick model_family explicitly"
+            )
+        return "sd15-inpaint"
     return "sdxl" if cfg.use_sdxl else "sd15"
 
 
@@ -167,7 +177,15 @@ def immunize(
     On a multi-chip host the EOT gradient samples are sharded over the mesh
     ``reps`` axis automatically (``cfg.eot_shards``; parallel/eot.py — one
     pmean over ICI replaces the reference's sequential grad_reps loop,
-    main.py:88-102).  Pass ``mesh`` to supply an explicit reps mesh."""
+    main.py:88-102).  Pass ``mesh`` to supply an explicit reps mesh.
+
+    ``cfg.attack_mode="inpaint"`` drives PhotoGuard's complex attack against
+    the 9-channel inpaint UNet instead (attack/inpaint.py; reference
+    old/yuval_playground.py:345-366 — script-only there) with the same
+    artifacts, vis grids, history, and checkpoint/resume plumbing."""
+    attack_mode = getattr(cfg, "attack_mode", "diffusion")
+    if attack_mode not in ("diffusion", "inpaint"):
+        raise ValueError(f"unknown attack_mode {attack_mode!r}")
     dtype = jnp.dtype(cfg.dtype)
     if model is None:
         model = _cfg_model(cfg, dtype,
@@ -224,10 +242,29 @@ def immunize(
             stacklevel=2,
         )
     sampler = make_sampler(kind, model.schedule)
-    plan = sampler.plan(
-        cfg.n_denoising_steps_per_iteration,
-        limit_t=700 if cfg.limit_timesteps else None,
-    )
+    is_inpaint = attack_mode == "inpaint"
+    in_ch = model.unet.config.in_channels
+    if is_inpaint and in_ch != 9:
+        raise ValueError(
+            f"attack_mode='inpaint' needs a 9-channel inpaint UNet family "
+            f"(sd15-inpaint / tiny-inpaint); model_family={model.family!r} "
+            f"has in_channels={in_ch}"
+        )
+    if not is_inpaint and in_ch == 9:
+        raise ValueError(
+            f"model_family={model.family!r} is an inpaint UNet; set "
+            "attack_mode='inpaint' to drive it"
+        )
+    if is_inpaint:
+        # legacy window 100 < t < 800, unconditional (yuval_playground.py:106)
+        plan = sampler.plan(
+            cfg.n_denoising_steps_per_iteration, limit_t=800, min_t=101
+        )
+    else:
+        plan = sampler.plan(
+            cfg.n_denoising_steps_per_iteration,
+            limit_t=700 if cfg.limit_timesteps else None,
+        )
     if plan.num_steps == 0:
         raise ValueError(
             "empty denoising plan: limit_timesteps filtered out every step "
@@ -267,14 +304,29 @@ def immunize(
         if cfg.checkpoint_interval and it and it % cfg.checkpoint_interval == 0:
             save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
 
-    reps_mesh, n_shards = _reps_sharding(cfg, mesh)
     step_fn = None
-    if n_shards > 1:
-        from tml_image_editing_defense_tpu.parallel.eot import (
-            make_sharded_eot_pgd_step,
+    if is_inpaint:
+        from tml_image_editing_defense_tpu.attack.inpaint import (
+            make_inpaint_pgd_step,
         )
 
-        step_fn = make_sharded_eot_pgd_step(model, sampler, plan, cfg, reps_mesh)
+        if cfg.eot_shards and cfg.eot_shards > 1:
+            raise ValueError(
+                "attack_mode='inpaint' has no reps-sharded step yet; "
+                "set eot_shards to 1/None"
+            )
+        reps_mesh = None
+        step_fn = make_inpaint_pgd_step(model, sampler, plan, cfg)
+    else:
+        reps_mesh, n_shards = _reps_sharding(cfg, mesh)
+        if n_shards > 1:
+            from tml_image_editing_defense_tpu.parallel.eot import (
+                make_sharded_eot_pgd_step,
+            )
+
+            step_fn = make_sharded_eot_pgd_step(
+                model, sampler, plan, cfg, reps_mesh, decode_vis=False
+            )
 
     from tml_image_editing_defense_tpu.utils.preemption import preemption_guard
 

@@ -107,35 +107,96 @@ def make_inpaint_eot_grad(
             cfg.guidance_scale, key, cfg.remat_policy, mask_latent=None,
             unroll=getattr(cfg, "unroll_denoise", None),
         )
-        out_image = model.decode_latent(params["vae"], out_latent, scaled=False)
+        # decode only when a loss term needs pixels (same trade as the
+        # diffusion step: the vis image is reconstructed from the carried
+        # latent at vis iterations, attack/pgd.py::run_pgd)
+        need_pixels = cfg.apply_loss_on_images or cfg.perturbation_loss_lambda > 0
+        out_image = (
+            model.decode_latent(params["vae"], out_latent, scaled=False)
+            if need_pixels else None
+        )
         if cfg.apply_loss_on_images:
             rec = lp_distance(out_image, data.target, 2)
         else:
             rec = lp_distance(out_latent, data.target_latent, 2)
         loss = cfg.rec_loss_lambda * rec
         if cfg.perturbation_loss_lambda > 0:
-            loss = loss + cfg.perturbation_loss_lambda * perturbation_loss(
-                out_image, data.source
-            )
-        return loss
+            pert = perturbation_loss(out_image, data.source)
+            loss = loss + cfg.perturbation_loss_lambda * pert
+        else:
+            pert = jnp.zeros((), rec.dtype)
+        return loss, (rec, pert, out_latent)
 
-    grad_fn = jax.value_and_grad(rep_loss, argnums=0)
+    grad_fn = jax.value_and_grad(rep_loss, argnums=0, has_aux=True)
 
     def eot(params, x_adv, data: AttackData, key):
         rep_keys = jax.random.split(key, cfg.grad_reps)
+        lat_zero = jnp.zeros((1,) + model.latent_shape[1:], x_adv.dtype)
+        aux0 = (jnp.zeros(()), jnp.zeros(()), lat_zero, jnp.zeros((), jnp.int32))
 
         def body(acc, k):
             k_p, k_r = jax.random.split(k)
             prompt_idx = jax.random.randint(k_p, (), 0, data.bank_embeds.shape[0])
-            loss, g = grad_fn(x_adv, params, data, prompt_idx, k_r)
-            return (acc[0] + g, acc[1] + loss), None
+            (loss, (rec, pert, out_lat)), g = grad_fn(
+                x_adv, params, data, prompt_idx, k_r
+            )
+            aux_c = (rec.astype(jnp.float32), pert.astype(jnp.float32),
+                     out_lat, prompt_idx)
+            return (acc[0] + g, acc[1] + loss, aux_c), None
 
-        (gsum, lsum), _ = jax.lax.scan(
-            body, (jnp.zeros_like(x_adv), jnp.zeros(())), rep_keys
+        (gsum, lsum, (rec, pert, out_lat, prompt_idx)), _ = jax.lax.scan(
+            body, (jnp.zeros_like(x_adv), jnp.zeros(()), aux0), rep_keys
         )
-        return gsum / cfg.grad_reps, lsum / cfg.grad_reps
+        aux = {
+            "avg_loss": lsum / cfg.grad_reps,
+            "rec_loss": rec,                   # last rep's, like the serial step
+            "pert_loss": pert,
+            "output_latent": out_lat,
+            "prompt_idx": prompt_idx,          # last rep's (prompt is per-rep here)
+        }
+        return gsum / cfg.grad_reps, aux
 
     return eot
+
+
+def make_inpaint_pgd_step(
+    model: DiffusionModel,
+    sampler: BaseSampler,
+    plan: DenoisePlan,
+    cfg: TrainConfig,
+) -> Callable:
+    """One inpaint-attack PGD iteration with the product step contract
+    (``step(params, x_adv, data, key) -> (x_adv', aux)``) so ``api.immunize``
+    can drive it through run_pgd — vis grids, history, checkpoint/resume and
+    artifacts all work unchanged.  The reference's version is only runnable
+    as a script (old/yuval_playground.py:345-366); this is its product route.
+
+    Projection parity with the legacy loops: ``super_l2``/``super_linf``
+    never mask the perturbation (old/yuval_playground.py:211-316), so
+    ``data.mask`` is deliberately ignored here."""
+    from tml_image_editing_defense_tpu.attack.pgd import (
+        select_perturbation_update,
+    )
+
+    eot = make_inpaint_eot_grad(model, sampler, plan, cfg)
+    update = select_perturbation_update(cfg)
+
+    def step(params, x_adv, data: AttackData, key):
+        grad, aux = eot(params, x_adv, data, key)
+        x_adv = update(
+            cfg.norm_type,
+            x_adv=x_adv,
+            grad=grad,
+            x_src=data.source,
+            step_size=cfg.step_size,
+            eps=cfg.eps,
+            min_value=cfg.min_value,
+            max_value=cfg.max_value,
+            mask=None,
+        )
+        return x_adv, aux
+
+    return step
 
 
 def run_inpaint_attack(
@@ -152,14 +213,14 @@ def run_inpaint_attack(
     n = iters or cfg.n_optimization_steps
 
     def step(x, k):
-        grad, loss = eot(model.params, x, data, k)
+        grad, aux = eot(model.params, x, data, k)
         x = perturbation_step(
             cfg.norm_type,
             x_adv=x, grad=grad, x_src=data.source,
             step_size=cfg.step_size, eps=cfg.eps,
             min_value=cfg.min_value, max_value=cfg.max_value, mask=None,
         )
-        return x, loss
+        return x, aux["avg_loss"]
 
     keys = jax.random.split(key, n)
     return jax.jit(lambda x0: jax.lax.scan(step, x0, keys))(data.source)

@@ -273,6 +273,7 @@ def make_eot_grad(
     sampler: BaseSampler,
     plan: DenoisePlan,
     cfg: TrainConfig,
+    decode_vis: bool = True,
 ):
     """EOT gradient: mean over ``grad_reps`` independent samples
     (main.py:88-102), prompt drawn once per call (main.py:85-87).
@@ -282,6 +283,14 @@ def make_eot_grad(
     main.py:191), so the encode runs once and its VJP is applied once to the
     rep-accumulated posterior gradient — identical math, ~2 fewer VAE passes
     per rep.
+
+    ``decode_vis``: with True (default) the aux carries ``output_image`` — a
+    full VAE decode of the last rep's latent for the reference's vis grid
+    (main.py:124).  With False the aux carries the raw ``output_latent``
+    instead (48× smaller at 512²) and the step program pays NO decode; the
+    caller decodes on demand at vis iterations only (run_pgd does this),
+    which is the right trade when the vis interval is 25 (configs.py:146) —
+    24 of every 25 steps were paying a decode nobody looked at.
     """
     from tml_image_editing_defense_tpu.models.vae import AutoencoderKL
 
@@ -347,16 +356,19 @@ def make_eot_grad(
             rec, pert, out_lat = jax.tree.map(lambda a: a[-1], auxes)
 
         (grad,) = vjp_fn(gdist)
-        # one decode of the last rep's latent for visualization (main.py:124)
-        out_img = model.decode_latent(params["vae"], out_lat, scaled=False)
-
         aux = {
             "avg_loss": avg_loss,
             "rec_loss": rec,
             "pert_loss": pert,
-            "output_image": out_img,
             "prompt_idx": prompt_idx,
         }
+        if decode_vis:
+            # one decode of the last rep's latent for visualization (main.py:124)
+            aux["output_image"] = model.decode_latent(
+                params["vae"], out_lat, scaled=False
+            )
+        else:
+            aux["output_latent"] = out_lat
         return grad, aux
 
     return eot
@@ -388,11 +400,15 @@ def make_pgd_step(
     sampler: BaseSampler,
     plan: DenoisePlan,
     cfg: TrainConfig,
+    decode_vis: bool = True,
 ) -> Callable:
     """One outer PGD iteration as a pure function
     ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it once and the
-    whole reference iteration (main.py:79-115) is a single XLA dispatch."""
-    eot = make_eot_grad(model, sampler, plan, cfg)
+    whole reference iteration (main.py:79-115) is a single XLA dispatch.
+    ``decode_vis=False`` drops the per-step vis decode from the program (aux
+    carries ``output_latent`` instead of ``output_image``; see
+    :func:`make_eot_grad`)."""
+    eot = make_eot_grad(model, sampler, plan, cfg, decode_vis=decode_vis)
     update = select_perturbation_update(cfg)
 
     def step(params, x_adv, data: AttackData, key):
@@ -425,7 +441,8 @@ def make_pgd_loop(
     Use when visualization is off: zero host round-trips for the entire
     immunization."""
     n = n_steps or cfg.n_optimization_steps
-    step = make_pgd_step(model, sampler, plan, cfg)
+    # the fused loop only surfaces scalar losses — never pay the vis decode
+    step = make_pgd_step(model, sampler, plan, cfg, decode_vis=False)
 
     def loop(params, x_adv, data: AttackData, key):
         # Positional per-iteration keys (fold_in by iteration index) — the
@@ -479,7 +496,8 @@ def run_pgd(
     under load — +46% on the 200-step sd15 rehearsal (docs/ROUND4.md) —
     while on directly-attached chips it is ~µs and ``None`` (one dispatch
     per iteration, the default) is fine.  Cost: one extra resident copy of
-    the step aux (incl. the decoded vis image) in the scan carry.
+    the step aux in the scan carry (small — the hot-path aux carries the
+    [1,h,w,4] output latent, not a decoded image).
 
     Per-iteration keys are derived positionally (``fold_in(key, it)``), so a
     run resumed at iteration k from a checkpoint continues the *same* RNG
@@ -494,8 +512,26 @@ def run_pgd(
     """
     import contextlib
 
-    raw_step = step_fn or make_pgd_step(model, sampler, plan, cfg)
+    # hot path: image-free aux (output_latent) — the vis image is decoded on
+    # demand below, only at the iterations a callback actually looks at it
+    raw_step = step_fn or make_pgd_step(model, sampler, plan, cfg, decode_vis=False)
     step = jax.jit(raw_step)
+    _decode_cache: dict = {}
+
+    def _with_vis_image(aux):
+        """Materialize aux["output_image"] from the carried latent (no-op for
+        steps built with decode_vis=True, e.g. externally supplied step_fn)."""
+        if "output_image" in aux or "output_latent" not in aux:
+            return aux
+        if "fn" not in _decode_cache:
+            _decode_cache["fn"] = jax.jit(
+                lambda vae, z: model.decode_latent(vae, z, scaled=False)
+            )
+        out = dict(aux)
+        out["output_image"] = _decode_cache["fn"](
+            model.params["vae"], aux["output_latent"]
+        )
+        return out
     ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
            else contextlib.nullcontext())
     x_adv = data.source if x_init is None else x_init
@@ -569,7 +605,7 @@ def run_pgd(
             if vis_callback is not None and (
                 last_it % interval == 0 or last_it == n - 1
             ):
-                vis_callback(last_it, x_adv, aux)
+                vis_callback(last_it, x_adv, _with_vis_image(aux))
             it += length
     history = []
     for e in pending:

@@ -2,15 +2,18 @@
 perturbation to foreground regions, ``main.py:311-322``, applied on the L2
 branch at ``main.py:260-261``).
 
-Gated aux model: :func:`torch_salient_mask` runs a real torch
-``image-segmentation`` checkpoint (RMBG-1.4 by default, or any local
-segmentation model directory — see docs/AUX_MODELS.md for the offline
-checkpoint procedure); :func:`get_salient_mask` wraps it and degrades to a
-deterministic gradient-energy saliency heuristic when no checkpoint is
-reachable, so the masked-PGD code path stays usable offline (clearly an
-approximation — swap in the real model for production parity; measured
-IoU of the heuristic vs a known synthetic foreground is recorded in
-docs/AUX_MODELS.md).
+Resolution order in :func:`get_salient_mask`:
+
+1. **flax ISNet (TPU-native, preferred)** — when ``model_path`` is an
+   RMBG-1.4 checkpoint directory (``*.safetensors``) it converts and runs
+   :mod:`~tml_image_editing_defense_tpu.models.isnet` on-device (same
+   pre/post-processing as the reference's RMBG pipeline);
+2. torch ``image-segmentation`` pipeline (:func:`torch_salient_mask`) — the
+   reference's own stack, kept for non-RMBG checkpoints;
+3. deterministic gradient-energy saliency heuristic — offline degraded mode
+   so masked-PGD stays usable with no checkpoint at all (clearly an
+   approximation; measured IoU vs a synthetic foreground is recorded in
+   docs/AUX_MODELS.md).
 """
 
 from __future__ import annotations
@@ -98,14 +101,53 @@ def torch_salient_mask(
     return (mask > threshold).astype(np.float32)
 
 
+def flax_salient_mask(
+    image_path: Union[str, Path],
+    size: int = 512,
+    model_path: Optional[str] = None,
+    threshold: float = 0.5,
+    isnet_bundle=None,
+) -> np.ndarray:
+    """TPU-native path: flax ISNet inference (models/isnet.py) with the RMBG
+    pipeline's pre/post-processing.  ``isnet_bundle`` injects an
+    already-built bundle (tests / callers that keep weights resident);
+    otherwise ``model_path`` must be an RMBG-1.4 checkpoint directory."""
+    from tml_image_editing_defense_tpu.models.isnet import (
+        load_rmbg_checkpoint,
+        salient_mask,
+    )
+
+    if isnet_bundle is None:
+        if model_path is None:
+            raise FileNotFoundError("no local RMBG checkpoint directory given")
+        isnet_bundle = load_rmbg_checkpoint(model_path)
+    arr = np.asarray(Image.open(image_path).convert("RGB"), np.float32) / 255.0
+    return salient_mask(isnet_bundle, arr, out_size=size, threshold=threshold)
+
+
 def get_salient_mask(
     image_path: Union[str, Path],
     size: int = 512,
     model_path: Optional[str] = None,
     threshold: float = 0.5,
+    isnet_bundle=None,
 ) -> np.ndarray:
     """Foreground mask at ``[size, size]``, binarized at 0.5 like the
-    reference (``main.py:320-321``).  Returns float32 {0,1} [H,W]."""
+    reference (``main.py:320-321``).  Returns float32 {0,1} [H,W].
+
+    Prefers the flax ISNet (see module docstring); the torch pipeline and
+    the heuristic are fallbacks."""
+    try:
+        return flax_salient_mask(image_path, size, model_path, threshold,
+                                 isnet_bundle=isnet_bundle)
+    except Exception as e:
+        if isnet_bundle is not None or (
+            model_path and any(Path(model_path).glob("*.safetensors"))
+        ):
+            # a checkpoint was offered to the flax path — surface why it fell
+            # through rather than silently degrading
+            print(f"[aux.segment] flax ISNet path failed ({type(e).__name__}: {e}); "
+                  "trying the torch pipeline")
     try:
         return torch_salient_mask(image_path, size, model_path, threshold)
     except Exception as e:

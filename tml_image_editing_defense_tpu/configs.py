@@ -194,9 +194,18 @@ class TrainConfig:
     use_sdxl: bool = False
     use_lcm: bool = True
     image_size: int = 512
-    #: Explicit model-family override ("sd15" | "sdxl" | "tiny" | "tiny-sdxl");
-    #: None derives from use_sdxl.  tiny families are for dev/CI runs.
+    #: Explicit model-family override ("sd15" | "sdxl" | "tiny" | "tiny-sdxl"
+    #: | "sd15-inpaint" | "tiny-inpaint"); None derives from use_sdxl (or from
+    #: attack_mode="inpaint").  tiny families are for dev/CI runs.
     model_family: Optional[str] = None
+    #: Which attack drives the immunization: "diffusion" (the reference's
+    #: live path, Trainer.attack_forward main.py:179-246) or "inpaint"
+    #: (PhotoGuard's complex attack against the 9-channel inpaint UNet,
+    #: old/yuval_playground.py:46-160, 345-366 — runnable as a script there,
+    #: a first-class api.immunize route here).  The inpaint mode uses the
+    #: legacy timestep window 100 < t < 800 (yuval_playground.py:106) and
+    #: never masks the perturbation (super_l2/linf take no mask).
+    attack_mode: str = "diffusion"
 
     # --- TPU-native knobs (no reference equivalent) ---
     #: If True, replicate the reference's ``__post_init__`` override of

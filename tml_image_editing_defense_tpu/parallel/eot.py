@@ -35,11 +35,17 @@ def make_sharded_eot_pgd_step(
     plan: DenoisePlan,
     cfg: TrainConfig,
     mesh: Mesh,
+    decode_vis: bool = True,
 ):
     """PGD step with EOT reps sharded over ``mesh[REPS_AXIS]``.
 
     Returns ``step(params, x_adv, data, key) -> (x_adv', aux)`` — jit it with
     the mesh active.  ``cfg.grad_reps`` must divide evenly by the axis size.
+
+    ``decode_vis=False`` matches the serial step's hot-path contract
+    (attack/pgd.py::make_eot_grad): aux carries ``output_latent`` and the
+    program skips the per-step vis decode — run_pgd decodes lazily at vis
+    iterations.
     """
     n_shards = mesh.shape[REPS_AXIS]
     if cfg.grad_reps % n_shards:
@@ -119,14 +125,18 @@ def make_sharded_eot_pgd_step(
             max_value=cfg.max_value,
             mask=data.mask,
         )
-        out_img = model.decode_latent(params["vae"], out_lat, scaled=False)
         aux = {
             "avg_loss": avg_loss,
             "rec_loss": rec,
             "pert_loss": pert,
-            "output_image": out_img,
             "prompt_idx": prompt_idx,
         }
+        if decode_vis:
+            aux["output_image"] = model.decode_latent(
+                params["vae"], out_lat, scaled=False
+            )
+        else:
+            aux["output_latent"] = out_lat
         return x_adv, aux
 
     return step

@@ -130,14 +130,17 @@ def pgd_step_model_flops(
     vae_decode_fwd: int,
     grad_reps: int,
     image_loss: bool,
+    vis_decode: bool = False,
 ) -> int:
     """Useful FLOPs of one PGD outer step (attack/pgd.py structure):
 
     - per rep: the K-step CFG UNet chain (``unet_fwd`` must already include
       the K-scan and the CFG batch) fwd+bwd, plus a VAE decode fwd+bwd when
       the loss needs pixels;
-    - once per step: VAE encode fwd + its VJP (factored out of the rep loop)
-      and one visualization decode (fwd only).
+    - once per step: VAE encode fwd + its VJP (factored out of the rep loop),
+      plus one visualization decode (fwd only) when the step was built with
+      ``decode_vis=True`` (the hot path carries the latent instead —
+      attack/pgd.py::make_eot_grad).
 
     All backwards are input-gradient-only (2× fwd): PGD differentiates the
     image, never the weights.
@@ -148,5 +151,5 @@ def pgd_step_model_flops(
     return (
         grad_reps * per_rep
         + input_grad_flops(vae_encode_fwd)
-        + vae_decode_fwd
+        + (vae_decode_fwd if vis_decode else 0)
     )
