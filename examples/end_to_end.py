@@ -47,6 +47,15 @@ def main():
                     default=True)
     ap.add_argument("--use-lcm-inference", action=argparse.BooleanOptionalAction,
                     default=False)
+    ap.add_argument("--dtype", type=str, default=None,
+                    choices=("float32", "bfloat16"),
+                    help="compute dtype for BOTH legs (default: config default "
+                         "f32; sdxl at 2.57B params needs bfloat16 on a 16 GB "
+                         "chip)")
+    ap.add_argument("--validation-images", type=Path, default=None,
+                    help="validation_images.txt-style file; enables the "
+                         "perturbation-transfer leg (reference "
+                         "main.py:523-587)")
     ap.add_argument("--params", type=Path, default=None,
                     help="converted real-weight .msgpack "
                          "(scripts/prepare_real_weights.py)")
@@ -58,6 +67,8 @@ def main():
         tokenizer_paths=None if args.tokenizer is None
         else [str(t) for t in args.tokenizer],
     )
+    if args.dtype is not None:
+        weights["dtype"] = args.dtype
     target = args.target or args.source
     dev = args.family in ("tiny", "tiny-sdxl")
     size = 32 if dev else 512
@@ -99,7 +110,7 @@ def main():
         strength=0.60,
         use_fixed_noise=True,
         n_noise=train_cfg.n_noise,
-        validation_images_path=None,
+        validation_images_path=args.validation_images,
         use_lcm=args.use_lcm_inference or dev,
         model_family=args.family,
         image_size=size,

@@ -146,3 +146,21 @@ def test_profiling_sync_forces_completion_and_returns_scalar():
     assert sync(jnp.float32(3.5)) == 3.5
     assert sync(jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3)) == 0.0
     assert isinstance(sync(jnp.ones((2, 2))), float)
+
+
+def test_noise_pool_bf16_npz_round_trip(tmp_path):
+    """bf16 pools survive the .npz artifact contract (main.py:619-622):
+    numpy cannot represent ml_dtypes.bfloat16, so save widens to f32
+    (exact) and load casts back."""
+    from tml_image_editing_defense_tpu.core.rng import (
+        load_noise_pool, make_noise_pool, save_noise_pool,
+    )
+
+    pool = make_noise_pool(jax.random.key(3), 2, (8, 8, 4), dtype=jnp.bfloat16)
+    save_noise_pool(tmp_path / "noise.npz", pool)
+    back_f32 = load_noise_pool(tmp_path / "noise.npz")
+    assert back_f32.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(back_f32), np.asarray(pool).astype(np.float32))
+    back_bf16 = load_noise_pool(tmp_path / "noise.npz", jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(back_bf16), np.asarray(pool))

@@ -41,8 +41,17 @@ def select_from_pool(key: jax.Array, pool: jnp.ndarray) -> jnp.ndarray:
 
 def save_noise_pool(path: Path, pool: jnp.ndarray) -> None:
     """Persist the noise pool (reference uses ``torch.save``, ``main.py:619``;
-    we use a portable .npz)."""
-    np.savez(str(path), noises=np.asarray(jax.device_get(pool)))
+    we use a portable .npz).
+
+    Stored widened to float32: .npz cannot represent ml_dtypes.bfloat16
+    (it round-trips as raw void bytes and ``load`` explodes), and
+    bf16 → f32 is exact, so the fixed-noise artifact contract
+    (``main.py:619-622``) is preserved bit-for-bit for both compute dtypes.
+    """
+    host = np.asarray(jax.device_get(pool))
+    if host.dtype not in (np.float32, np.float64):
+        host = host.astype(np.float32)
+    np.savez(str(path), noises=host)
 
 
 def load_noise_pool(path: Path, dtype=jnp.float32) -> jnp.ndarray:
