@@ -771,3 +771,18 @@ def test_immunize_batch_data_parallel(img_file, tmp_path, tiny_model):
     assert not np.array_equal(
         np.asarray(results[0].adversarial_image), np.asarray(results[1].adversarial_image)
     )
+
+
+def test_cfg_model_honors_dtype(img_file, tmp_path):
+    """The product path must build dtype-uniform params (regression: it
+    passed fast_init=False for random weights, whose full flax init kept
+    f32 params despite cfg.dtype="bfloat16" — 2x the argument HBM, an
+    SDXL@512 compile OOM on the 16 GB chip in the round-5 rehearsal)."""
+    import jax.numpy as jnp
+
+    cfg = _train_cfg(img_file, tmp_path, dtype="bfloat16",
+                     model_family="tiny")
+    m = api._cfg_model(cfg, jnp.dtype(cfg.dtype))
+    dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m.params)
+           if jnp.issubdtype(leaf.dtype, jnp.floating)}
+    assert dts == {jnp.dtype(jnp.bfloat16)}, dts

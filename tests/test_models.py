@@ -239,3 +239,28 @@ def test_fast_init_uniform_dtype_bf16():
                      vae_dtype=jnp.float32, fast_init=True)
     vae_dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m2.params["vae"])}
     assert vae_dts == {jnp.dtype(jnp.float32)}
+
+
+def test_full_init_honors_requested_dtype():
+    """Full flax init must obey the same uniform-dtype contract as
+    fast_init.  Regression: ``module.init`` materializes f32 params
+    regardless of the module's compute dtype, silently doubling the param
+    footprint (SDXL bf16: 4.95G of step arguments became 9.90G, a
+    compile-time HBM OOM through ``api.immunize`` — round-5 rehearsal)."""
+    m = build_model("tiny", key=jax.random.key(0), dtype=jnp.bfloat16,
+                    fast_init=False)
+    dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m.params)
+           if jnp.issubdtype(leaf.dtype, jnp.floating)}
+    assert dts == {jnp.dtype(jnp.bfloat16)}, dts
+    # vae_dtype override stays independent of the UNet/text dtype
+    m2 = build_model("tiny", key=jax.random.key(0), dtype=jnp.bfloat16,
+                     vae_dtype=jnp.float32, fast_init=False)
+    vae_dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m2.params["vae"])
+               if jnp.issubdtype(leaf.dtype, jnp.floating)}
+    assert vae_dts == {jnp.dtype(jnp.float32)}
+    # the f32 default path is untouched (no cast program, same values):
+    # goldens and torch-oracle tests rely on byte-stable full-init weights
+    m3 = build_model("tiny", key=jax.random.key(0), fast_init=False)
+    f32 = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m3.params)
+           if jnp.issubdtype(leaf.dtype, jnp.floating)}
+    assert f32 == {jnp.dtype(jnp.float32)}

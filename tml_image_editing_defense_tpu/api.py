@@ -111,10 +111,18 @@ def _cfg_model(cfg, dtype, attn_kv_chunk="auto") -> DiffusionModel:
     if isinstance(tok_paths, (str, Path)):     # CLI passes a single string
         tok_paths = [tok_paths]
     params_path = getattr(cfg, "params_path", None)
+    # Always fast_init: random weights here are placeholders (real ones are
+    # loaded over the template below), and the on-device fast generator is
+    # both the only init that finishes in reasonable time for SDXL's 2.57 B
+    # params on a tunneled chip and the one that honors cfg.dtype uniformly.
+    # (fast_init=False ran full flax init — f32 params despite
+    # dtype=bfloat16, 9.90G of arguments instead of 4.95G, which OOM'd the
+    # SDXL@512 immunize-step compile at 19.26G/15.75G in the round-5
+    # rehearsal.)
     model = build_model(
         family, key=jax.random.key(cfg.seed), image_size=cfg.image_size,
         dtype=dtype, attn_kv_chunk=attn_kv_chunk,
-        tokenizer_paths=tok_paths, fast_init=params_path is not None,
+        tokenizer_paths=tok_paths, fast_init=True,
     )
     if params_path is not None:
         from tml_image_editing_defense_tpu.models.checkpoint_io import load_params

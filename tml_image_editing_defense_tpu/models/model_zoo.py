@@ -387,10 +387,35 @@ def build_model(
                 ),
             }
         else:
-            unet_params = unet.init(k_unet, sample, jnp.zeros((), jnp.int32), ctx, **kwargs)["params"]
-            vae_params = vae.init(k_vae, img, jax.random.key(0))["params"]
+            def _honor_dtype(tree, dt):
+                """flax ``init`` materializes f32 params regardless of the
+                module's compute dtype; cast so full init obeys the same
+                uniform-dtype contract as fast_init (a silent f32 tree
+                doubles SDXL's argument HBM — 4.95G bf16 → 9.90G, a
+                compile-time OOM on a 16 GB chip).  One jitted whole-tree
+                cast — per-leaf ``jnp.asarray`` would compile one convert
+                per distinct shape.  No-op (tree returned untouched) when
+                every float leaf already matches."""
+                leaves = jax.tree_util.tree_leaves(tree)
+                if all(
+                    (not jnp.issubdtype(leaf.dtype, jnp.floating))
+                    or leaf.dtype == jnp.dtype(dt)
+                    for leaf in leaves
+                ):
+                    return tree
+                return jax.jit(lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(dt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t))(tree)
+
+            unet_params = _honor_dtype(
+                unet.init(k_unet, sample, jnp.zeros((), jnp.int32), ctx, **kwargs)["params"],
+                dtype,
+            )
+            vae_params = _honor_dtype(
+                vae.init(k_vae, img, jax.random.key(0))["params"], vae_dtype
+            )
             text_params = tuple(
-                tm.init(k, ids)["params"]
+                _honor_dtype(tm.init(k, ids)["params"], dtype)
                 for tm, c, k in zip(texts, text_cfgs, k_txt)
             )
             params = {"unet": unet_params, "vae": vae_params, "text": text_params}
