@@ -56,6 +56,14 @@ def main():
                     help="validation_images.txt-style file; enables the "
                          "perturbation-transfer leg (reference "
                          "main.py:523-587)")
+    ap.add_argument("--checkpoint-interval", type=int, default=0,
+                    help="save PGD state (attack_state.npz) every N steps "
+                         "(0 = off); with --resume a crashed run continues "
+                         "the exact RNG stream (utils/checkpoint.py)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <output>/attack_state.npz if present "
+                         "(tunneled-TPU runs: the worker can crash/restart "
+                         "mid-immunize)")
     ap.add_argument("--params", type=Path, default=None,
                     help="converted real-weight .msgpack "
                          "(scripts/prepare_real_weights.py)")
@@ -90,9 +98,11 @@ def main():
                 step_size=0.02, grad_reps=2, apply_loss_on_latents=True,
                 apply_loss_on_images=False, perturbation_loss_lambda=0.0,
                 prompts=["melting", "origami"]) if dev else {}),
+        checkpoint_interval=args.checkpoint_interval,
         **weights,
     )
-    result = api.immunize(train_cfg)
+    resume_from = args.output / "attack_state.npz" if args.resume else None
+    result = api.immunize(train_cfg, resume_from=resume_from)
 
     # Artifact round-trip (reference main.py:618-622): PNG quantization is
     # deliberately part of the measured defense.

@@ -63,3 +63,45 @@ def test_end_to_end_flag_plumbing(monkeypatch, tmp_path):
     assert seen["eval_kw"]["model"] == "MODEL"
     # the bf16 pool survived the .npz round-trip into evaluate
     assert seen["eval_kw"]["noises"].shape == (1, 4, 4, 4)
+
+
+def test_end_to_end_checkpoint_resume_plumbing(monkeypatch, tmp_path):
+    """--checkpoint-interval flows into TrainConfig and --resume points
+    api.immunize at <output>/attack_state.npz (round-5: tunneled-TPU
+    workers can crash mid-immunize; the rehearsal must be resumable)."""
+    import examples.end_to_end as e2e
+    from tml_image_editing_defense_tpu import api
+    from tml_image_editing_defense_tpu.core.rng import save_noise_pool
+    import jax.numpy as jnp
+
+    src = tmp_path / "src.png"
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(src)
+    out = tmp_path / "out"
+    out.mkdir()
+    seen = {}
+
+    def fake_immunize(cfg, resume_from=None, **kw):
+        seen["cfg"], seen["resume_from"] = cfg, resume_from
+        Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(
+            out / "adversarial_image.png")
+        save_noise_pool(out / "noise.npz", jnp.zeros((1, 4, 4, 4)))
+        return types.SimpleNamespace(model="MODEL")
+
+    monkeypatch.setattr(api, "immunize", fake_immunize)
+    monkeypatch.setattr(api, "evaluate", lambda *a, **kw: [])
+    monkeypatch.setattr(sys, "argv", [
+        "end_to_end", "--family", "tiny", "--steps", "3",
+        "--source", str(src), "--output", str(out),
+        "--checkpoint-interval", "25", "--resume",
+    ])
+    e2e.main()
+    assert seen["cfg"].checkpoint_interval == 25
+    assert seen["resume_from"] == out / "attack_state.npz"
+
+    # without --resume the run must start fresh (resume_from=None)
+    monkeypatch.setattr(sys, "argv", [
+        "end_to_end", "--family", "tiny", "--steps", "3",
+        "--source", str(src), "--output", str(out),
+    ])
+    e2e.main()
+    assert seen["resume_from"] is None and seen["cfg"].checkpoint_interval == 0
