@@ -485,12 +485,21 @@ def run_legs(legs, state, deadline, emit=None, now=time.time,
             state.setdefault("skipped_legs", []).append(name)
             emit(json.dumps(assemble(state)))
             continue
-        # reserve later legs' estimated costs so one hung leg cannot consume
-        # the whole remaining budget and starve everything after it
-        reserved = sum(e for _, e, _ in legs[i + 1:])
-        timeout = max(
-            min_leg_timeout, remaining - reserved + 0.5 * min_leg_timeout
-        )
+        # Reserve later legs' estimated costs so one hung leg cannot consume
+        # the whole remaining budget and starve everything after it — BUT
+        # never starve the headline leg (losing it degrades the entire
+        # record; later legs only ever get leftovers anyway), and floor a
+        # later leg at 2× its own estimate so a merely-slow leg is not
+        # abandoned to protect legs that would be skipped regardless.
+        if first:
+            timeout = remaining + 0.5 * min_leg_timeout
+        else:
+            reserved = sum(e for _, e, _ in legs[i + 1:])
+            timeout = max(
+                min_leg_timeout, 2.0 * est,
+                remaining - reserved + 0.5 * min_leg_timeout,
+            )
+            timeout = min(timeout, remaining + 0.5 * min_leg_timeout)
         try:
             state.update(_run_leg_abandonable(name, fn, state, timeout))
         except LegHungError as e:

@@ -29,7 +29,8 @@ import sys
 
 import jax
 
-if os.environ.get("TID_FORCE_CPU", "1"):
+if os.environ.get("TID_FORCE_CPU", "1") != "0":
+    # default CPU (abstract tracing needs no chip); TID_FORCE_CPU=0 opts out
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

@@ -786,3 +786,53 @@ def test_cfg_model_honors_dtype(img_file, tmp_path):
     dts = {leaf.dtype for leaf in jax.tree_util.tree_leaves(m.params)
            if jnp.issubdtype(leaf.dtype, jnp.floating)}
     assert dts == {jnp.dtype(jnp.bfloat16)}, dts
+
+
+def test_checkpoint_interval_independent_of_vis(img_file, tmp_path, tiny_model):
+    """checkpoint_interval must fire on its own schedule, not only at vis
+    iterations.  Regression: the save lived inside vis_callback, so
+    checkpoint_interval=2 with the default vis interval 25 never wrote
+    attack_state.npz over a 6-step run — the crash-resilience the flag
+    promises was silently absent unless N divided the vis interval."""
+    from tml_image_editing_defense_tpu.utils.checkpoint import load_attack_state
+
+    cfg = _train_cfg(img_file, tmp_path, n_optimization_steps=6,
+                     checkpoint_interval=2, image_visualization_interval=25)
+    res = api.immunize(cfg, model=tiny_model)
+    state = tmp_path / "attack_state.npz"
+    assert state.exists(), "no checkpoint written despite checkpoint_interval=2"
+    x, it, key, pool = load_attack_state(state)
+    assert it == 5          # last boundary is iteration 4; resumes at 5
+    assert len(res.history) == 6
+
+
+def test_ckpt_callback_boundaries_under_blocks(img_file, tmp_path, tiny_model):
+    """Blocked dispatch must cut blocks at checkpoint boundaries too, with
+    the same final iterate as the per-step loop."""
+    import numpy as np
+    from tml_image_editing_defense_tpu.attack import make_attack_data
+    from tml_image_editing_defense_tpu.attack.pgd import run_pgd
+    from tml_image_editing_defense_tpu.core.rng import make_noise_pool
+    from tml_image_editing_defense_tpu.api import training_sampler_kind
+    from tml_image_editing_defense_tpu.core.samplers import make_sampler
+
+    cfg = _train_cfg(img_file, tmp_path / "cb", n_optimization_steps=10,
+                     enable_visualization=False)
+    model = tiny_model
+    src = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    bank = model.embed_prompt_bank(list(cfg.prompts))
+    pool = make_noise_pool(jax.random.key(5), max(cfg.n_noise, 1), model.latent_shape)
+    data = make_attack_data(model, cfg, src, jnp.zeros_like(src), bank, pool)
+    sampler = make_sampler(training_sampler_kind(model.family, cfg.use_lcm), model.schedule)
+    plan = sampler.plan(cfg.n_denoising_steps_per_iteration,
+                        limit_t=700 if cfg.limit_timesteps else None)
+    key = jax.random.key(31)
+
+    fired = []
+    x_blk, _ = run_pgd(model, sampler, plan, cfg, data, key, block_size=4,
+                       ckpt_callback=lambda it, x: fired.append(it),
+                       ckpt_interval=3)
+    assert fired == [3, 6, 9]
+    x_ref, _ = run_pgd(model, sampler, plan, cfg, data, key)
+    np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-7)

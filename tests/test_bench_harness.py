@@ -310,3 +310,53 @@ def test_diffusion_step_flops_counts_both_families(family, use_sdxl):
     once = flops - cfg.grad_reps * per_rep    # encode fwd+vjp (no vis decode)
     assert once > 0
     assert flops2 == pytest.approx(cfg2.grad_reps * per_rep + once)
+
+
+def test_run_legs_headline_never_starved_by_reservation():
+    """Reserving later legs' estimates must not shrink the HEADLINE leg's
+    watchdog: a healthy-but-slow encoder leg (cold compiles after a backend
+    outage ate the budget) must be allowed the full remaining time — losing
+    the headline degrades the whole record while later legs only ever get
+    leftovers anyway."""
+    import time as _time
+
+    emitted = []
+
+    def slow_headline(state):
+        _time.sleep(0.6)   # > old max(min_leg_timeout, remaining - reserved)
+        return _headline_leg(state)
+
+    def never(state):
+        return {}
+
+    state = bench.run_legs(
+        [("encoder", 0.0, slow_headline),
+         ("diffusion", 5.0, never), ("sdxl", 5.0, never)],
+        {}, deadline=1.0, emit=emitted.append, now=lambda: 0.0,
+        min_leg_timeout=0.3,
+    )
+    assert "hung_legs" not in state
+    assert json.loads(emitted[0])["value"] == 2.0
+
+
+def test_run_legs_later_leg_floored_at_twice_estimate():
+    """A later leg that runs past (remaining - reservation) but within 2×
+    its own estimate is merely slow, not hung — abandoning it to protect
+    legs that will be skipped anyway discards a completed result."""
+    import time as _time
+
+    emitted = []
+
+    def slow_diffusion(state):
+        _time.sleep(0.6)
+        return {"diffusion_pgd_s_per_step": 1.7}
+
+    state = bench.run_legs(
+        [("encoder", 0.0, _headline_leg),
+         ("diffusion", 0.5, slow_diffusion),
+         ("sdxl", 5.0, lambda s: {})],
+        {}, deadline=1.0, emit=emitted.append, now=lambda: 0.0,
+        min_leg_timeout=0.3,
+    )
+    assert state.get("hung_legs") is None
+    assert state["diffusion_pgd_s_per_step"] == 1.7

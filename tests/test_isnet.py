@@ -283,3 +283,44 @@ def test_get_salient_mask_prefers_flax(tmp_path, monkeypatch):
     m = segment.get_salient_mask(img_path, size=32, isnet_bundle=bundle)
     assert m.shape == (32, 32) and set(np.unique(m)) <= {0.0, 1.0}
     assert not called["torch"], "flax path must win when a bundle is available"
+
+
+def test_fast_init_running_stats_are_valid():
+    """fast_init must give InferenceBatchNorm positive running_var (a normal
+    draw fed rsqrt(var+eps) NaNs through every stage, zeroing the saliency
+    mask) and zero running_mean."""
+    import flax.traverse_util as tu
+
+    b = build_isnet("tiny", fast_init=True)
+    flat = tu.flatten_dict(b.params)
+    rvs = [v for k, v in flat.items() if k[-1] == "running_var"]
+    rms = [v for k, v in flat.items() if k[-1] == "running_mean"]
+    assert rvs and rms
+    assert min(float(v.min()) for v in rvs) > 0.0
+    assert max(float(abs(m).max()) for m in rms) == 0.0
+    img = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    sal = salient_mask(b, img, out_size=32)
+    assert np.isfinite(sal).all()
+
+
+def test_flax_salient_mask_geometry_matches_training_image(tmp_path):
+    """The flax path must mask the SAME frame the attack perturbs: resize
+    shorter side + center crop (core/image_ops.load_image) — NOT a square
+    stretch of the full photo, which misaligns the mask for any non-square
+    source (the torch path aligns by resize_crop_pil'ing the mask)."""
+    from PIL import Image
+
+    from tml_image_editing_defense_tpu.aux_models.segment import flax_salient_mask
+    from tml_image_editing_defense_tpu.core.image_ops import resize_crop_pil
+
+    rng = np.random.default_rng(7)
+    wide = rng.uniform(0, 255, (40, 120, 3)).astype(np.uint8)   # 3:1 landscape
+    p = tmp_path / "wide.png"
+    Image.fromarray(wide).save(p)
+    bundle = build_isnet("tiny", key=jax.random.key(2))
+
+    got = flax_salient_mask(p, size=32, isnet_bundle=bundle)
+    cropped = np.asarray(
+        resize_crop_pil(Image.open(p).convert("RGB"), 32), np.float32) / 255.0
+    expect = salient_mask(bundle, cropped, out_size=32)
+    np.testing.assert_array_equal(got, expect)

@@ -309,8 +309,14 @@ def immunize(
             )
             images = {"train_images": grid}
         logger.log(logs, step=it, images=images)
-        if cfg.checkpoint_interval and it and it % cfg.checkpoint_interval == 0:
-            save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
+
+    def ckpt_callback(it, x_adv):
+        # independent of the vis schedule — run_pgd cuts blocks at both
+        # boundary kinds, so checkpoint_interval=10 really saves every 10
+        # steps (it used to live inside vis_callback and only fired at
+        # lcm(N, vis interval) iterations)
+        it_holder["it"] = it
+        save_attack_state(ckpt_path, x_adv, it + 1, loop_key, noise_pool)
 
     step_fn = None
     if is_inpaint:
@@ -344,6 +350,9 @@ def immunize(
             x_init=x_init, vis_callback=vis_callback, start_iteration=start_it,
             stop_flag=preempted, step_fn=step_fn, mesh=reps_mesh,
             block_size=cfg.dispatch_block,
+            ckpt_callback=ckpt_callback if cfg.checkpoint_interval else None,
+            ckpt_interval=cfg.checkpoint_interval,
+            vis_needs_image=cfg.enable_visualization,
         )
     if preempted:
         # checkpoint so a relaunch resumes (the handling the reference's

@@ -474,6 +474,9 @@ def run_pgd(
     step_fn: Optional[Callable] = None,
     mesh=None,
     block_size: Optional[int] = None,
+    ckpt_callback: Optional[Callable] = None,
+    ckpt_interval: int = 0,
+    vis_needs_image: bool = True,
 ) -> Tuple[jnp.ndarray, list]:
     """Host-driven PGD loop with optional visualization callbacks at
     ``cfg.image_visualization_interval`` (reference main.py:117-135).  The
@@ -498,6 +501,17 @@ def run_pgd(
     per iteration, the default) is fine.  Cost: one extra resident copy of
     the step aux in the scan carry (small — the hot-path aux carries the
     [1,h,w,4] output latent, not a decoded image).
+
+    ``ckpt_callback``/``ckpt_interval``: independent state-checkpoint
+    schedule — ``ckpt_callback(it, x_adv)`` fires at every iteration
+    ``it % ckpt_interval == 0`` (except 0), whether or not it coincides
+    with a vis boundary (blocks are cut at BOTH kinds of boundary).
+    Keeping it out of ``vis_callback`` means ``--checkpoint-interval 10``
+    actually saves every 10 steps rather than every lcm(10, vis) steps.
+
+    ``vis_needs_image``: False skips materializing ``aux["output_image"]``
+    for callbacks that only log scalars (no decode program, no per-interval
+    VAE decode).
 
     Per-iteration keys are derived positionally (``fold_in(key, it)``), so a
     run resumed at iteration k from a checkpoint continues the *same* RNG
@@ -578,12 +592,23 @@ def run_pgd(
         return block_cache[length]
 
     def next_len(it: int) -> int:
-        """Longest block from ``it`` that ends on the next vis boundary."""
-        if vis_callback is None:
+        """Longest block from ``it`` that ends on the next callback
+        boundary — vis OR checkpoint (``ckpt_interval`` need not divide the
+        vis interval; each cuts its own boundaries)."""
+        bounds = []
+        if vis_callback is not None:
+            s = it if it % interval == 0 else ((it // interval) + 1) * interval
+            bounds.append(min(s, n - 1))       # the loop also syncs at n-1
+        if ckpt_callback is not None and ckpt_interval:
+            # iteration 0 is never checkpointed (nothing to resume past)
+            base = max(it, 1)
+            c = (base if base % ckpt_interval == 0
+                 else ((base // ckpt_interval) + 1) * ckpt_interval)
+            if c <= n - 1:
+                bounds.append(c)
+        if not bounds:
             return min(block_size, n - it)
-        s = it if it % interval == 0 else ((it // interval) + 1) * interval
-        s = min(s, n - 1)                      # the loop also syncs at n-1
-        return min(block_size, s - it + 1, n - it)
+        return min(block_size, min(bounds) - it + 1, n - it)
 
     with ctx:
         it = start_iteration
@@ -605,7 +630,14 @@ def run_pgd(
             if vis_callback is not None and (
                 last_it % interval == 0 or last_it == n - 1
             ):
-                vis_callback(last_it, x_adv, _with_vis_image(aux))
+                # decode the carried latent only when the callback will
+                # actually render it (vis off = scalar-only logging; skip
+                # the extra decode program + per-interval VAE decode)
+                vis_callback(last_it, x_adv,
+                             _with_vis_image(aux) if vis_needs_image else aux)
+            if (ckpt_callback is not None and ckpt_interval
+                    and last_it and last_it % ckpt_interval == 0):
+                ckpt_callback(last_it, x_adv)
             it += length
     history = []
     for e in pending:

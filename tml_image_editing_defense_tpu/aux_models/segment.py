@@ -121,7 +121,13 @@ def flax_salient_mask(
         if model_path is None:
             raise FileNotFoundError("no local RMBG checkpoint directory given")
         isnet_bundle = load_rmbg_checkpoint(model_path)
-    arr = np.asarray(Image.open(image_path).convert("RGB"), np.float32) / 255.0
+    # Same geometry as the training image (core/image_ops.load_image:
+    # resize shorter side + center crop) BEFORE inference — feeding the raw
+    # full frame and square-resizing inside salient_mask would misalign the
+    # mask against the cropped source for any non-square photo (the torch
+    # path aligns by resize_crop_pil'ing the mask instead).
+    img = resize_crop_pil(Image.open(image_path).convert("RGB"), size)
+    arr = np.asarray(img, np.float32) / 255.0
     return salient_mask(isnet_bundle, arr, out_size=size, threshold=threshold)
 
 

@@ -202,7 +202,7 @@ def _fast_random_params(shapes_tree, key: jax.Array, dtype) -> dict:
     pool_sizes = []
     fill = POOL_CAP  # force a new pool on first drawn leaf
     for path, leaf in flat.items():
-        if path[-1] in ("bias", "scale"):
+        if path[-1] in ("bias", "scale", "running_mean", "running_var"):
             continue
         n = int(np.prod(tuple(leaf.shape)))
         if fill + n > POOL_CAP and fill > 0:
@@ -220,9 +220,12 @@ def _fast_random_params(shapes_tree, key: jax.Array, dtype) -> dict:
         out = {}
         for path, leaf in flat.items():
             name, shape = path[-1], tuple(leaf.shape)
-            if name == "bias":
+            if name in ("bias", "running_mean"):
                 out[path] = jnp.zeros(shape, dtype)
-            elif name == "scale":
+            elif name in ("scale", "running_var"):
+                # running_var MUST be positive: a normal draw here fed
+                # rsqrt(var+eps) NaNs through every ISNet InferenceBatchNorm
+                # (isnet.py:78-92), zeroing the fast_init saliency mask
                 out[path] = jnp.ones(shape, dtype)
             else:
                 g, off = assign[path]
