@@ -56,6 +56,10 @@ def main():
                     help="validation_images.txt-style file; enables the "
                          "perturbation-transfer leg (reference "
                          "main.py:523-587)")
+    ap.add_argument("--dispatch-block", type=int, default=None,
+                    help="fuse up to N PGD iterations per dispatch "
+                         "(TrainConfig.dispatch_block; worth ~15%% sustained "
+                         "on tunneled chips — docs/PERF.md round 5)")
     ap.add_argument("--checkpoint-interval", type=int, default=0,
                     help="save PGD state (attack_state.npz) every N steps "
                          "(0 = off); with --resume a crashed run continues "
@@ -99,6 +103,7 @@ def main():
                 apply_loss_on_images=False, perturbation_loss_lambda=0.0,
                 prompts=["melting", "origami"]) if dev else {}),
         checkpoint_interval=args.checkpoint_interval,
+        dispatch_block=args.dispatch_block,
         **weights,
     )
     resume_from = args.output / "attack_state.npz" if args.resume else None

@@ -93,9 +93,11 @@ def test_end_to_end_checkpoint_resume_plumbing(monkeypatch, tmp_path):
         "end_to_end", "--family", "tiny", "--steps", "3",
         "--source", str(src), "--output", str(out),
         "--checkpoint-interval", "25", "--resume",
+        "--dispatch-block", "5",
     ])
     e2e.main()
     assert seen["cfg"].checkpoint_interval == 25
+    assert seen["cfg"].dispatch_block == 5
     assert seen["resume_from"] == out / "attack_state.npz"
 
     # without --resume the run must start fresh (resume_from=None)
@@ -105,3 +107,4 @@ def test_end_to_end_checkpoint_resume_plumbing(monkeypatch, tmp_path):
     ])
     e2e.main()
     assert seen["resume_from"] is None and seen["cfg"].checkpoint_interval == 0
+    assert seen["cfg"].dispatch_block is None
