@@ -164,3 +164,40 @@ def test_noise_pool_bf16_npz_round_trip(tmp_path):
         np.asarray(back_f32), np.asarray(pool).astype(np.float32))
     back_bf16 = load_noise_pool(tmp_path / "noise.npz", jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(back_bf16), np.asarray(pool))
+
+
+def test_attack_state_bf16_npz_round_trip(tmp_path):
+    """attack_state.npz must round-trip bf16 exactly (same numpy limitation
+    as the noise pool: bf16 saves as raw void bytes and a resume explodes
+    with "Dtype |V2 is not a valid JAX array type" — observed live when a
+    racing bf16 SDXL rehearsal resumed from its own checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tml_image_editing_defense_tpu.utils.checkpoint import (
+        load_attack_state,
+        save_attack_state,
+    )
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 3), jnp.bfloat16)
+    pool = jax.random.normal(jax.random.key(1), (2, 1, 4, 4, 4), jnp.bfloat16)
+    key = jax.random.key(7)
+    p = tmp_path / "attack_state.npz"
+    save_attack_state(p, x, 42, key, pool)
+    x2, it, key2, pool2 = load_attack_state(p)
+    assert x2.dtype == jnp.bfloat16 and pool2.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                  np.asarray(x2, np.float32))
+    np.testing.assert_array_equal(np.asarray(pool, np.float32),
+                                  np.asarray(pool2, np.float32))
+    assert it == 42
+    np.testing.assert_array_equal(jax.random.key_data(key),
+                                  jax.random.key_data(key2))
+
+    # f32 states keep their dtype and byte-identity (the sd15 default path)
+    xf = jax.random.normal(jax.random.key(2), (1, 4, 4, 3), jnp.float32)
+    save_attack_state(p, xf, 7, key, None)
+    xf2, it2, _, pool_none = load_attack_state(p)
+    assert xf2.dtype == jnp.float32 and pool_none is None and it2 == 7
+    np.testing.assert_array_equal(np.asarray(xf), np.asarray(xf2))
