@@ -21,6 +21,8 @@ Compositions pinned (same reference anchors as the oracle module):
    pipeline's flow (pipeline_stable_diffusion_img2img.py:1042-1129).
 4. The SDXL micro-conditioning branch of attack_forward
    (main.py:202-208, 362-408) on the tiny-sdxl family.
+5. The inpainting attack's forward — 9-channel UNet, ``100 < t < 800``
+   window (old/yuval_playground.py:46-160) on the tiny-inpaint family.
 
 Regenerate (only after re-validating against the torch oracle):
     TID_REGEN_GOLDENS=1 python -m pytest tests/test_whole_program_goldens.py -q
@@ -59,7 +61,7 @@ def _rand(seed, shape, scale=1.0):
 
 
 def _compute() -> dict:
-    """Deterministic outputs of the four compositions (fixed keys, tiny
+    """Deterministic outputs of the five compositions (fixed keys, tiny
     families built from key(0), CPU f32)."""
     out = {}
     model = build_model("tiny", key=jax.random.key(0), image_size=SIZE)
@@ -117,6 +119,24 @@ def _compute() -> dict:
         _rand(12, (1,) + xl.latent_shape[1:]), GS, jax.random.key(13), "none",
     )
     out["sdxl_attack_forward_latent"] = np.asarray(xlat, np.float32)
+
+    # 5. inpainting attack_forward (9-channel UNet, 100 < t < 800 window —
+    #    old/yuval_playground.py:46-160; oracle leg:
+    #    test_whole_program_oracle.py::
+    #    test_inpaint_attack_forward_matches_reference_composition)
+    from tml_image_editing_defense_tpu.attack.inpaint import (
+        inpaint_attack_forward,
+    )
+
+    ip = build_model("tiny-inpaint", key=jax.random.key(0), image_size=SIZE)
+    ip_sampler = LCMSampler(ip.schedule)
+    ip_plan = ip_sampler.plan(4, limit_t=800, min_t=101)
+    ip_ctx = _rand(14, (2, 7, ip.unet.config.cross_attention_dim))
+    ip_lat = inpaint_attack_forward(
+        ip, ip_sampler, ip_plan, ip.params, image, CondInputs(ctx=ip_ctx),
+        GS, jax.random.key(15), remat_policy="none",
+    )
+    out["inpaint_attack_forward_latent"] = np.asarray(ip_lat, np.float32)
     return out
 
 

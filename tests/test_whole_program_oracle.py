@@ -5,7 +5,7 @@ mirrors) proves each part; this module proves the *composition*: the torch
 mirrors are assembled into the reference's literal loops and the end-to-end
 outputs must match ours at f32 tolerance.
 
-Four compositions, each a line-by-line transcription of the reference:
+Five compositions, each a line-by-line transcription of the reference:
 
 1. ``Trainer.attack_forward`` (``/root/reference/main.py:179-246``): prompt
    CFG stack → ``vae.encode(image).latent_dist.sample() * 0.18215`` (:191)
@@ -27,6 +27,10 @@ Four compositions, each a line-by-line transcription of the reference:
    (:779-783), the PLMS CFG denoise loop (:1081-1124), VAE decode +
    ``(x/2+0.5).clamp(0,1)`` postprocess (:1126-1140) — vs
    ``pipelines/img2img.py::Img2ImgPipeline.__call__``.
+4. The inpainting attack's forward (``old/yuval_playground.py:46-160``):
+   fresh-noise latents, all-ones mask + masked-image latents concatenated
+   to the 9-channel UNet each step, the ``100 < t < 800`` window — vs
+   ``attack/inpaint.py::inpaint_attack_forward``.
 
 Both sides consume IDENTICAL stochastic draws: the torch side replays the
 jax key stream (documented in attack/pgd.py: k_prompt/k_reps → per-rep
@@ -145,12 +149,17 @@ def torch_lcm_attack_forward(
     return latents / scaling                               # :245
 
 
-def lcm_timesteps(acp, k=4, limit=700):
-    """set_timesteps(K) + the reference's ``t < 700`` filter (main.py:194-199)."""
+def lcm_timesteps(acp, k=4, limit=700, min_t=None):
+    """set_timesteps(K) + the reference's ``t < 700`` filter (main.py:194-199).
+    ``min_t``: the inpaint attack's lower bound — its window is
+    ``100 < t < 800`` (old/yuval_playground.py:106), i.e. min_t=101."""
     c = len(acp) // 50
     origin = (np.arange(1, 51) * c - 1)[::-1]
     ts = origin[:: 50 // k][:k]
-    return np.asarray([t for t in ts if t < limit], np.int64)
+    return np.asarray(
+        [t for t in ts if t < limit and (min_t is None or t >= min_t)],
+        np.int64,
+    )
 
 
 def replay_chain_keys(k_fwd, n_steps, lat_shape):
@@ -383,5 +392,97 @@ def test_img2img_call_matches_reference_pipeline(model, sds, acp, monkeypatch):
                            torch.from_numpy(lat / float(model.vae_scaling)))
     theirs = torch.clamp(dec / 2 + 0.5, 0, 1)                # :1126-1140
 
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
+                               rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# 1c. inpainting attack_forward composition (old/yuval_playground.py:46-160)
+# --------------------------------------------------------------------------
+
+
+def torch_lcm_inpaint_forward(
+    sd_unet, sd_vae, acp, image_t, ctx_t, timesteps, lat_noise_t,
+    step_noises_t, eps_vae_t, guidance_scale, scaling, unet_cfg,
+):
+    """Literal inpainting-attack forward (``old/yuval_playground.py:46-160``):
+    latents start as FRESH noise (txt2img-style, :90-93; the gradient enters
+    only through the masked-image latents), per step the 9-channel UNet input
+    is ``cat([noisy_latents, mask, masked_image_latents])`` with the CFG-
+    duplicated all-ones mask + image latents (:92-97, 139), LCM stepping,
+    output ``latents / 0.18215`` (:160)."""
+    latents = lat_noise_t                                   # :90-93
+    mil = torch_encode_sample(sd_vae, image_t, eps_vae_t, scaling)
+    mask = torch.ones((1, 1) + tuple(latents.shape[-2:]), dtype=latents.dtype)
+    mil2 = torch.cat([mil] * 2)                             # :94-97
+    mask2 = torch.cat([mask] * 2)
+    for i, t in enumerate(timesteps):                       # :128-160
+        latent_in = torch.cat([latents] * 2)
+        # LCMScheduler.scale_model_input is identity
+        latent_in = torch.cat([latent_in, mask2, mil2], dim=1)   # 9 ch, :139
+        pred = torch_unet(sd_unet, unet_cfg, latent_in, torch.tensor(int(t)),
+                          ctx_t)
+        uncond, text = pred.chunk(2)
+        eps = uncond + guidance_scale * (text - uncond)
+        # LCMScheduler.step (same math as torch_lcm_attack_forward)
+        a_t = float(acp[int(t)])
+        x0 = (latents - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+        s = float(t) * 10.0
+        c_skip = 0.25 / (s * s + 0.25)
+        c_out = s / np.sqrt(s * s + 0.25)
+        denoised = c_out * x0 + c_skip * latents
+        if i == len(timesteps) - 1:
+            latents = denoised
+        else:
+            a_prev = float(acp[int(timesteps[i + 1])])
+            latents = (np.sqrt(a_prev) * denoised
+                       + np.sqrt(1.0 - a_prev) * step_noises_t[i])
+    return latents / scaling                                # :160
+
+
+def test_inpaint_attack_forward_matches_reference_composition():
+    """The inpainting-attack chain against its literal torch transcription:
+    the 9-channel UNet drive with the ``100 < t < 800`` window
+    (old/yuval_playground.py:106) — the last attack mode without a torch
+    oracle leg.  RNG replay mirrors ``inpaint_attack_forward``'s key tree:
+    ``k_lat, k_vae, k_chain = split(key, 3)``; latents noise from k_lat,
+    VAE posterior eps from k_vae, per-step LCM noise from split(k_chain, n)."""
+    from tml_image_editing_defense_tpu.attack.inpaint import (
+        inpaint_attack_forward,
+    )
+    from tml_image_editing_defense_tpu.models.unet import TINY_INPAINT_UNET
+
+    ip = build_model("tiny-inpaint", key=jax.random.key(2), image_size=SIZE)
+    assert ip.unet.config.in_channels == 9
+    sd_unet = export_state_dict(ip.params["unet"], "unet")
+    sd_vae = export_state_dict(ip.params["vae"], "vae")
+    acp_ip = np.asarray(ip.schedule.alphas_cumprod, np.float32)
+    sampler = LCMSampler(ip.schedule)
+    plan = sampler.plan(4, limit_t=800, min_t=101)
+    ts = lcm_timesteps(acp_ip, k=4, limit=800, min_t=101)
+    np.testing.assert_array_equal(np.asarray(plan.t_eval), ts)
+    assert (ts > 100).all() and (ts < 800).all() and len(ts) == 3
+
+    image = jnp.clip(_rand(70, (1, SIZE, SIZE, 3), 0.4), -1, 1)
+    ctx = _rand(71, (2, 7, TINY_INPAINT_UNET.cross_attention_dim))
+    key = jax.random.key(77)
+
+    ours = inpaint_attack_forward(
+        ip, sampler, plan, ip.params, image, CondInputs(ctx=ctx),
+        GS, key, remat_policy="none",
+    )
+
+    k_lat, k_vae, k_chain = jax.random.split(key, 3)
+    lat_noise = np.asarray(jax.random.normal(k_lat, LAT, jnp.float32))
+    eps_vae = np.asarray(jax.random.normal(k_vae, LAT, jnp.float32))
+    step_keys = jax.random.split(k_chain, len(ts))
+    step_noises = [np.asarray(jax.random.normal(k, LAT, jnp.float32))
+                   for k in step_keys]
+    theirs = torch_lcm_inpaint_forward(
+        sd_unet, sd_vae, acp_ip, _nchw(image),
+        torch.from_numpy(np.asarray(ctx)), ts, _nchw(lat_noise),
+        [_nchw(sn) for sn in step_noises], _nchw(eps_vae),
+        GS, float(ip.vae_scaling), TINY_INPAINT_UNET,
+    )
     np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
                                rtol=2e-4, atol=2e-4)
