@@ -441,7 +441,9 @@ def _run_leg_abandonable(name: str, fn, state: dict, timeout: float):
     if t.is_alive():
         raise LegHungError(
             f"leg {name!r} hung past {timeout:.0f}s (thread abandoned; "
-            "lost-RPC/worker-restart signature)"
+            "lost-RPC/worker-restart signature — or a COLD remote compile "
+            "outrunning the leg budget: the abandoned compile still lands "
+            "in the persistent cache, so a re-run completes warm)"
         )
     if "error" in box:
         raise box["error"]
